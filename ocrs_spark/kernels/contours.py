@@ -1,0 +1,292 @@
+"""Connected components, contour tracing, polygon simplification,
+min-area rects, and polygon rasterization — pure numpy/Python.
+
+Behavioral counterparts of the rten-imageproc routines used by
+``ocrs/src/detection.rs:41-62`` (find_contours RetrievalMode::External,
+simplify_polygon eps=2, min_area_rect) and
+``ocrs/src/recognition.rs:91-126`` (Polygon::fill_iter). Implemented from
+the published algorithms (Suzuki-Abe border following via Moore tracing,
+Douglas-Peucker, rotating calipers) — no reference code reused.
+
+Connected-component labeling is a vectorized row-run union-find: runs of
+foreground per row are found with np.diff, merged across rows with
+8-connectivity. This keeps the hot loop O(rows + runs) in Python with all
+per-pixel work in numpy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..geometry import Rect, RotatedRect
+
+# Moore neighborhood in clockwise order starting from W (dx, dy).
+_MOORE = [(-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1)]
+
+
+def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """8-connected component labeling of a boolean mask.
+
+    Returns (labels, n) where labels is int32 (0 = background,
+    components numbered 1..n in raster order of their first pixel).
+    """
+    mask = np.asarray(mask, dtype=bool)
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+
+    parent: list[int] = [0]  # union-find over run ids; parent[0] unused
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    # Runs per row: (start, end) half-open column ranges.
+    run_rows: list[list[tuple[int, int, int]]] = []  # (start, end, run_id)
+    next_id = 1
+    prev_runs: list[tuple[int, int, int]] = []
+    padded = np.zeros(w + 2, dtype=np.int8)
+    for y in range(h):
+        padded[1:-1] = mask[y]
+        d = np.diff(padded)
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        runs = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            rid = next_id
+            next_id += 1
+            parent.append(rid)
+            # 8-connectivity: overlap with previous row extended by 1 col.
+            for ps, pe, pid in prev_runs:
+                if ps < e + 1 and pe > s - 1:
+                    union(rid, pid)
+            runs.append((s, e, rid))
+        run_rows.append(runs)
+        prev_runs = runs
+
+    # Resolve roots to dense component labels in raster order.
+    root_to_label: dict[int, int] = {}
+    n = 0
+    for runs in run_rows:
+        for s, e, rid in runs:
+            r = find(rid)
+            if r not in root_to_label:
+                n += 1
+                root_to_label[r] = n
+    for y, runs in enumerate(run_rows):
+        for s, e, rid in runs:
+            labels[y, s:e] = root_to_label[find(rid)]
+    return labels, n
+
+
+def trace_outer_contour(labels: np.ndarray, label: int, start: tuple[int, int]) -> list[tuple[int, int]]:
+    """Moore-neighbor tracing (clockwise, Jacob's stopping criterion) of
+    the outer border of one component. ``start`` is the (x, y) of its
+    topmost-leftmost pixel. Returns border pixel coordinates as (x, y),
+    in traversal order."""
+    h, w = labels.shape
+    sx, sy = start
+
+    def is_fg(x: int, y: int) -> bool:
+        return 0 <= x < w and 0 <= y < h and labels[y, x] == label
+
+    dir_index = {v: i for i, v in enumerate(_MOORE)}
+
+    contour = [(sx, sy)]
+    cur = (sx, sy)
+    back = (sx - 1, sy)  # entered the start pixel from the West
+    first_move = None
+    max_steps = 4 * (h * w + 8)
+    for _ in range(max_steps):
+        bdir = dir_index[(back[0] - cur[0], back[1] - cur[1])]
+        nxt = None
+        for k in range(1, 9):
+            d = (bdir + k) % 8
+            cand = (cur[0] + _MOORE[d][0], cur[1] + _MOORE[d][1])
+            if is_fg(*cand):
+                nxt = cand
+                break
+            back = cand  # last background cell examined
+        if nxt is None:
+            return contour  # isolated pixel
+        if cur == (sx, sy):
+            if first_move is None:
+                first_move = nxt
+            elif nxt == first_move:
+                return contour  # completed the loop
+        cur = nxt
+        contour.append(cur)
+    raise RuntimeError("contour tracing did not terminate")
+
+
+def find_contours_external(mask: np.ndarray) -> list[list[tuple[int, int]]]:
+    """Outer contour of each 8-connected component, as ordered (x, y)
+    border-pixel lists (counterpart of rten-imageproc find_contours with
+    RetrievalMode::External, used at detection.rs:46)."""
+    labels, n = label_components(mask)
+    if n == 0:
+        return []
+    contours = []
+    for lbl in range(1, n + 1):
+        ys, xs = np.nonzero(labels == lbl)
+        i = np.lexsort((xs, ys))[0]
+        start = (int(xs[i]), int(ys[i]))
+        contours.append(trace_outer_contour(labels, lbl, start))
+    return contours
+
+
+def simplify_polyline(points: list[tuple[float, float]], eps: float) -> list[tuple[float, float]]:
+    """Douglas-Peucker simplification, endpoints kept (counterpart of
+    rten-imageproc simplify_polygon at detection.rs:50)."""
+    if len(points) <= 2:
+        return list(points)
+    pts = np.asarray(points, dtype=np.float64)
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        p0, p1 = pts[i0], pts[i1]
+        seg = p1 - p0
+        seg_len = math.hypot(seg[0], seg[1])
+        mid = pts[i0 + 1 : i1]
+        if seg_len == 0:
+            d = np.hypot(mid[:, 0] - p0[0], mid[:, 1] - p0[1])
+        else:
+            d = np.abs(np.cross(seg, mid - p0)) / seg_len
+        k = int(np.argmax(d))
+        if d[k] > eps:
+            j = i0 + 1 + k
+            keep[j] = True
+            stack.append((i0, j))
+            stack.append((j, i1))
+    return [tuple(p) for p in pts[keep]]
+
+
+def convex_hull(points) -> np.ndarray:
+    """Andrew monotone chain. Returns hull points (x, y) CCW in image
+    coords (y down), shape (m, 2) float64."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # Sorted by x then y (np.unique sorts rows lexicographically).
+
+    def half(iterable):
+        out = []
+        for p in iterable:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((p[0], p[1]))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points) -> RotatedRect | None:
+    """Minimum-area oriented bounding rect via rotating calipers over hull
+    edges (counterpart of rten-imageproc min_area_rect at
+    detection.rs:52). Up axis is oriented towards (0, -1) so horizontal
+    input yields width = x-extent, height = y-extent."""
+    pts = np.asarray(points, dtype=np.float64)
+    if len(pts) == 0:
+        return None
+    hull = convex_hull(pts)
+    if len(hull) == 1:
+        return RotatedRect(hull[0][0], hull[0][1], 0.0, -1.0, 0.0, 0.0)
+    if len(hull) == 2:
+        (x0, y0), (x1, y1) = hull
+        dx, dy = x1 - x0, y1 - y0
+        length = math.hypot(dx, dy)
+        ux, uy = (-dy / length, dx / length) if length else (0.0, -1.0)
+        rr = RotatedRect((x0 + x1) / 2, (y0 + y1) / 2, ux, uy, length, 0.0)
+        return rr.orient_towards(0.0, -1.0)
+
+    best = None
+    m = len(hull)
+    for i in range(m):
+        x0, y0 = hull[i]
+        x1, y1 = hull[(i + 1) % m]
+        ex, ey = x1 - x0, y1 - y0
+        elen = math.hypot(ex, ey)
+        if elen == 0:
+            continue
+        ex, ey = ex / elen, ey / elen
+        px, py = -ey, ex  # perpendicular
+        proj_e = hull[:, 0] * ex + hull[:, 1] * ey
+        proj_p = hull[:, 0] * px + hull[:, 1] * py
+        w = proj_e.max() - proj_e.min()
+        h = proj_p.max() - proj_p.min()
+        area = w * h
+        if best is None or area < best[0]:
+            ce = (proj_e.max() + proj_e.min()) / 2
+            cp = (proj_p.max() + proj_p.min()) / 2
+            cx = ce * ex + cp * px
+            cy = ce * ey + cp * py
+            # Width along the edge direction; height along perpendicular.
+            # Up axis = the axis along "height", pointing up-ish.
+            best = (area, RotatedRect(cx, cy, px, py, w, h))
+    rr = best[1]
+    # Normalize: make the up axis the one closest to vertical, and point
+    # it towards (0, -1) (mirrors orient_towards usage,
+    # text_items.rs:26-29).
+    if abs(rr.uy) < abs(rr.ux):
+        # Swap axes: up becomes the perpendicular of current up.
+        rr = RotatedRect(rr.cx, rr.cy, rr.uy, -rr.ux, rr.height, rr.width)
+    return rr.orient_towards(0.0, -1.0)
+
+
+def fill_polygon_mask(points: list[tuple[int, int]], bounds: Rect) -> np.ndarray:
+    """Rasterize a polygon into a boolean mask over ``bounds`` (integral
+    rect), using even-odd scanline with half-open [min, max) edge and
+    span conventions (counterpart of Polygon::fill_iter used at
+    recognition.rs:110-117)."""
+    top, left = int(bounds.top), int(bounds.left)
+    h, w = int(bounds.height), int(bounds.width)
+    mask = np.zeros((h, w), dtype=bool)
+    if not points or h <= 0 or w <= 0:
+        return mask
+    n = len(points)
+    edges = []
+    for i in range(n):
+        x0, y0 = points[i]
+        x1, y1 = points[(i + 1) % n]
+        if y0 == y1:
+            continue
+        edges.append((float(x0), float(y0), float(x1), float(y1)))
+    for row in range(h):
+        y = row + top
+        xs = []
+        for x0, y0, x1, y1 in edges:
+            ylo, yhi = (y0, y1) if y0 < y1 else (y1, y0)
+            if ylo <= y < yhi:  # half-open edge span
+                t = (y - y0) / (y1 - y0)
+                xs.append(x0 + t * (x1 - x0))
+        xs.sort()
+        for j in range(0, len(xs) - 1, 2):
+            a = int(math.ceil(xs[j]))
+            b = int(math.ceil(xs[j + 1]))  # half-open [a, b)
+            a = max(a, left)
+            b = min(b, left + w)
+            if b > a:
+                mask[row, a - left : b - left] = True
+    return mask
