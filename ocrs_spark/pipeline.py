@@ -1,0 +1,255 @@
+"""The Spark OCR pipeline: documents -> exploded image work units ->
+skew-balanced vectorized OCR -> ordered span reweave.
+
+Plan shape (SURVEY.md §3.4, mandated by the north rule):
+
+    documents
+      -> explode(spans)                      [UNNEST; unit of work = span]
+      -> filter kind='image'                 [text spans never touch Python]
+      -> left-anti join committed ledger     [resume pruning]
+      -> join media payloads                 [broadcast when small]
+      -> repartition(hash(doc_id, offset))   [skew: schedule ~1 image/unit,
+                                              not 1 document/unit]
+      -> mapInPandas(fused OCR UDF)          [decode+detect+layout+recognize
+                                              per Arrow batch; detection is
+                                              stacked into one NCHW run]
+      -> join back + groupBy(doc_id)         [reweave]
+      -> array_sort by offset -> spans       [order restored by offset]
+
+Why fused: the decoded greyscale image feeds both detection and
+recognition (the reference shares OcrInput between stages,
+lib.rs:125-128); splitting stages across two UDFs would re-ship pixels
+through a shuffle. Catalyst still handles pruning/pushdown/AQE for all
+the relational glue around the UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import decode_image
+from .engine import OcrEngine, OcrEngineParams
+from .models import FakeDetectionModel, FakeRecognitionModel, fake_alphabet
+
+# Result schema of the OCR UDF. n_words/n_lines feed the metrics table.
+OCR_RESULT_SCHEMA = "doc_id string, offset int, ocr_text string, n_words int, n_lines int, error string"
+
+SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
+
+# ----------------------------------------------------------------- engine
+
+_ENGINE_CACHE: dict = {}
+
+
+def build_engine(conf: dict) -> OcrEngine:
+    """Executor-local engine singleton (one onnx/fake session per Python
+    worker, mirroring the reference's cached model load,
+    ocrs-cli/src/models.rs:100-107)."""
+    key = tuple(sorted(conf.items()))
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        if conf.get("kind", "fake") == "fake":
+            eng = OcrEngine(
+                OcrEngineParams(
+                    detection_model=FakeDetectionModel(),
+                    recognition_model=FakeRecognitionModel(),
+                    alphabet=fake_alphabet(),
+                )
+            )
+        elif conf["kind"] == "onnx":
+            from .models import OnnxModel
+
+            with open(conf["detection_path"], "rb") as f:
+                det = OnnxModel(f.read())
+            with open(conf["recognition_path"], "rb") as f:
+                rec = OnnxModel(f.read())
+            eng = OcrEngine(OcrEngineParams(detection_model=det, recognition_model=rec))
+        else:
+            raise ValueError(f"unknown engine kind {conf.get('kind')!r}")
+        _ENGINE_CACHE[key] = eng
+    return eng
+
+
+def make_ocr_udf(engine_conf: dict):
+    """Fused OCR mapInPandas function over (doc_id, offset, bytes)."""
+
+    def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        engine = build_engine(engine_conf)
+        for pdf in batches:
+            n = len(pdf)
+            texts = [None] * n
+            n_words = [0] * n
+            n_lines = [0] * n
+            errors = [None] * n
+            greys = [None] * n
+            # Decode + normalize the whole Arrow batch first ...
+            for i in range(n):
+                try:
+                    img = decode_image(bytes(pdf["bytes"].iloc[i]))
+                    greys[i] = engine.prepare_input(img)
+                except Exception as exc:  # bad rows -> error column, task survives
+                    errors[i] = f"decode: {exc}"
+            # ... then run detection as one stacked NCHW batch (all inputs
+            # share the model's fixed H x W) ...
+            ok_idx = [i for i in range(n) if greys[i] is not None]
+            try:
+                masks = engine.detector.detect_text_pixels_batch([greys[i] for i in ok_idx])
+            except Exception as exc:
+                for i in ok_idx:
+                    errors[i] = f"detect: {exc}"
+                masks = []
+                ok_idx = []
+            # ... then per-image layout + recognition (sequential
+            # algorithms; the parallel grain is the image/task).
+            for i, mask in zip(ok_idx, masks):
+                try:
+                    words = engine.detector.words_from_mask(mask)
+                    lines = engine.find_text_lines(words)
+                    recognized = engine.recognize_text(greys[i], lines)
+                    keep = [l for l in recognized if l is not None]
+                    texts[i] = "\n".join(l.text() for l in keep)
+                    n_words[i] = len(words)
+                    n_lines[i] = len(keep)
+                except Exception as exc:
+                    errors[i] = f"ocr: {exc}"
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "offset": pdf["offset"].values,
+                    "ocr_text": texts,
+                    "n_words": n_words,
+                    "n_lines": n_lines,
+                    "error": errors,
+                }
+            )
+
+    return ocr_batches
+
+
+# ----------------------------------------------------------------- pipeline
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) -> one row per span."""
+    return documents.select(
+        "doc_id",
+        F.explode("spans").alias("span"),
+    ).select("doc_id", "span.kind", "span.text", "span.media_ref", "span.offset")
+
+
+def ocr_image_spans(
+    spans: DataFrame,
+    media: DataFrame,
+    engine_conf: dict,
+    partitions: int | None = None,
+    broadcast_media: bool = True,
+    dedup_media: bool = True,
+) -> DataFrame:
+    """Run OCR over the image spans. Returns
+    (doc_id, offset, ocr_text, n_words, n_lines, error).
+
+    With ``dedup_media`` (default), each distinct ``media_ref`` is OCR'd
+    exactly once and the result is joined back to the referencing spans —
+    at corpus scale the same image is commonly referenced by many
+    documents, and model inference dwarfs the join. The unit of scheduled
+    work becomes one unique image, which also flattens doc-level skew.
+    """
+    work = spans.filter(F.col("kind") == "image").select("doc_id", "offset", "media_ref")
+    m = media.select("media_ref", "bytes")
+    if broadcast_media:
+        m = F.broadcast(m)
+    spark = work.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+
+    if dedup_media:
+        uniq = (
+            work.select("media_ref")
+            .distinct()
+            .join(m, "media_ref", "left")
+            # Skew break: spread unique images uniformly; the OCR UDF keys
+            # on media_ref here and results fan back out via the join.
+            .repartition(partitions, F.xxhash64("media_ref"))
+            .withColumnRenamed("media_ref", "doc_id")  # reuse UDF schema slot
+            .withColumn("offset", F.lit(0))
+        )
+        per_media = uniq.mapInPandas(make_ocr_udf(engine_conf), schema=OCR_RESULT_SCHEMA)
+        per_media = per_media.select(
+            F.col("doc_id").alias("media_ref"),
+            "ocr_text",
+            "n_words",
+            "n_lines",
+            "error",
+        )
+        return work.join(per_media, "media_ref", "left").select(
+            "doc_id", "offset", "ocr_text", "n_words", "n_lines", "error"
+        )
+
+    work = work.join(m, "media_ref", "left").select("doc_id", "offset", "bytes")
+    # Skew break: spread one doc's many images across all partitions.
+    work = work.repartition(partitions, F.xxhash64("doc_id", "offset"))
+    return work.mapInPandas(make_ocr_udf(engine_conf), schema=OCR_RESULT_SCHEMA)
+
+
+def reweave(spans: DataFrame, ocr_results: DataFrame) -> DataFrame:
+    """Merge OCR text into image spans and reassemble documents with
+    spans ordered by offset. Output schema == input documents schema."""
+    merged = spans.join(
+        ocr_results.select("doc_id", "offset", "ocr_text"),
+        ["doc_id", "offset"],
+        "left",
+    ).select(
+        "doc_id",
+        F.struct(
+            F.col("offset").alias("offset"),  # sort key first
+            F.col("kind").alias("kind"),
+            F.when(F.col("kind") == "image", F.col("ocr_text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.col("media_ref").alias("media_ref"),
+        ).alias("span"),
+    )
+    return merged.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list("span")),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans")
+    )
+
+
+def ocr_documents(
+    documents: DataFrame,
+    media: DataFrame,
+    engine_conf: dict | None = None,
+    partitions: int | None = None,
+    broadcast_media: bool = True,
+) -> DataFrame:
+    """Full pipeline: documents + media -> documents with image spans
+    OCR'd, span order restored by offset."""
+    engine_conf = engine_conf or {"kind": "fake"}
+    spans = explode_spans(documents)
+    results = ocr_image_spans(
+        spans, media, engine_conf, partitions=partitions, broadcast_media=broadcast_media
+    )
+    return reweave(spans, results)
+
+
+def extraction_metrics(ocr_results: DataFrame) -> DataFrame:
+    """Per-run extraction metrics table (SURVEY.md §2.6)."""
+    return ocr_results.agg(
+        F.count("*").alias("spans"),
+        F.count(F.col("error")).alias("errors"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_lines").alias("total_lines"),
+        F.countDistinct("doc_id").alias("docs"),
+    )

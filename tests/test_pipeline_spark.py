@@ -1,0 +1,110 @@
+"""Distributed-pipeline tests: span-sequence equality against the local
+(reference-validated) engine, pass-through of text spans, skew/shuffled
+storage order, and error-row survival. This is the per-row invariant from
+BASELINE.json input_hint: (kind, text, media_ref, order) equality."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocrs_spark.fixtures import corpus_to_spark, generate_corpus
+from ocrs_spark.pipeline import (
+    explode_spans,
+    extraction_metrics,
+    ocr_documents,
+    ocr_image_spans,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(n_docs=40, seed=42)
+
+
+@pytest.fixture(scope="module")
+def frames(spark, corpus):
+    docs, media, expected = corpus_to_spark(spark, corpus)
+    return docs.cache(), media.cache(), expected.cache()
+
+
+@pytest.fixture(scope="module")
+def result(frames):
+    docs, media, _ = frames
+    return ocr_documents(docs, media).cache()
+
+
+def spans_as_tuples(df):
+    rows = df.select("doc_id", "spans").collect()
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+def test_span_sequence_equality(frames, result):
+    _, _, expected = frames
+    got = spans_as_tuples(result)
+    want = spans_as_tuples(expected)
+    assert got.keys() == want.keys()
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, f"{len(mismatches)} docs mismatched: {list(mismatches)[:3]}"
+
+
+def test_order_restored_by_offset_not_storage(frames):
+    docs, _, _ = frames
+    # Fixture spans are stored shuffled; exploded offsets must not be
+    # monotone in storage order for at least some docs, while the final
+    # result (previous test) is offset-ordered.
+    spans = explode_spans(docs)
+    rows = (
+        spans.groupBy("doc_id")
+        .agg(F.collect_list("offset").alias("stored"))
+        .collect()
+    )
+    assert any(r["stored"] != sorted(r["stored"]) for r in rows)
+
+
+def test_text_spans_pass_through_unchanged(frames, result):
+    docs, _, _ = frames
+    orig = explode_spans(docs).filter(F.col("kind") == "text")
+    new = explode_spans(result).filter(F.col("kind") == "text")
+    diff = orig.select("doc_id", "offset", "text").exceptAll(
+        new.select("doc_id", "offset", "text")
+    )
+    assert diff.count() == 0
+
+
+def test_metrics(frames):
+    docs, media, _ = frames
+    spans = explode_spans(docs)
+    results = ocr_image_spans(spans, media, {"kind": "fake"}).cache()
+    m = extraction_metrics(results).collect()[0]
+    n_images = spans.filter(F.col("kind") == "image").count()
+    assert m["spans"] == n_images
+    assert m["errors"] == 0
+    assert m["docs"] >= 1
+    results.unpersist()
+
+
+def test_bad_media_ref_yields_error_not_crash(spark, frames):
+    _, media, _ = frames
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "bad-1",
+                "spans": [
+                    {"kind": "image", "text": None, "media_ref": "missing-ref", "offset": 0},
+                    {"kind": "text", "text": "hello", "media_ref": None, "offset": 1},
+                ],
+            }
+        ],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    spans = explode_spans(docs)
+    results = ocr_image_spans(spans, media, {"kind": "fake"}).collect()
+    assert len(results) == 1
+    assert results[0]["error"] is not None and results[0]["ocr_text"] is None
+    woven = spans_as_tuples(ocr_documents(docs, media))
+    assert woven["bad-1"][1] == ("text", "hello", None, 1)
