@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship interleaved-OCR pipeline on sf0.001;
+``queries``/``oracle_sql`` cover the operator inventory (SURVEY.md §2):
+relational orchestration analogues (explode/reweave/anti-join/metrics/
+window/joins), dedup (exact, MinHash+LSH, Jaccard, SimHash, embedding
+cosine), similarity search (brute-force + LSH ANN), text analysis
+(lang-ID, quality, tokens, fingerprints), multimodal binary plumbing,
+and the OCR pipeline itself with golden-text oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive an interleaved text+image corpus from the flat
+    sf0.001 documents table, OCR every image span through the full
+    distributed pipeline (fake models — reference-validated), and weave
+    the spans back in offset order."""
+    from ocrs_spark.flagship import flagship_ocr
+
+    return flagship_ocr(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocrs_spark.flagship import (
+        flagship_ocr,
+        ocr_image_span_texts,
+        ocr_text_span_parity,
+    )
+    from ocrs_spark.ops import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(all_queries())
+    out["ocr_image_span_texts"] = ocr_image_span_texts
+    out["ocr_text_span_parity"] = ocr_text_span_parity
+    # Rows-only (full nested-array output; schema is the documents shape).
+    out["ocr_interleaved_pipeline"] = flagship_ocr
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocrs_spark.flagship import ORACLE_OCR_IMAGE_SPANS, ORACLE_OCR_TEXT_SPANS
+    from ocrs_spark.ops import all_oracles
+
+    out = dict(all_oracles())
+    out["ocr_image_span_texts"] = ORACLE_OCR_IMAGE_SPANS
+    out["ocr_text_span_parity"] = ORACLE_OCR_TEXT_SPANS
+    # "ocr_interleaved_pipeline" intentionally has no oracle: nested
+    # array-of-struct output -> rows-only check; its values are asserted
+    # by the two span-level oracle queries above and by pytest.
+    return out

@@ -1,0 +1,162 @@
+"""Flagship query: end-to-end OCR over an interleaved corpus derived
+deterministically from the driver's flat ``documents`` table.
+
+Each flat document becomes an interleaved document:
+  offset 0: text span  = substring(text, 1, 40)
+  offset 1: image span = media 'img-(doc_id % 5)' ('img-blank' when 4)
+  offset 2: text span  = substring(text, 41, 40)
+  offset 3: image span = 'img-((doc_id+1) % 4)'   (only when doc_id % 3 = 0)
+with the stored span array REVERSED for odd doc_ids (order must be
+restored by offset, not storage position).
+
+Media are the fake-model word images (ocrs/src/lib.rs:319-333 shape):
+'img-m' has 1 + m % 3 white word rects and OCRs to '7' * (1 + m % 3)
+under the fake models — a constant validated against the reference's own
+test expectations — so the driver's DuckDB oracle can assert the OCR'd
+text values exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import encode_rawi
+from .fixtures import MEDIA_SCHEMA, make_word_image
+from .pipeline import ocr_documents
+
+# ref -> expected OCR text under the fake models (golden constants).
+MEDIA_TEXT = {
+    "img-0": "7",
+    "img-1": "77",
+    "img-2": "777",
+    "img-3": "7",
+    "img-blank": "",
+}
+
+
+def flagship_media(spark: SparkSession) -> DataFrame:
+    rows = []
+    for m in range(4):
+        img = make_word_image(1 + m % 3)
+        rows.append(
+            {
+                "media_ref": f"img-{m}",
+                "bytes": bytearray(encode_rawi(img)),
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "channels": img.shape[2],
+            }
+        )
+    blank = np.zeros((100, 200, 3), dtype=np.uint8)
+    rows.append(
+        {
+            "media_ref": "img-blank",
+            "bytes": bytearray(encode_rawi(blank)),
+            "width": 200,
+            "height": 100,
+            "channels": 3,
+        }
+    )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ref1 = F.when(d % 5 == 4, F.lit("img-blank")).otherwise(
+        F.concat(F.lit("img-"), (d % 5).cast("string"))
+    )
+    ref2 = F.concat(F.lit("img-"), ((d + 1) % 4).cast("string"))
+
+    def text_span(offset: int, expr):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            expr.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(offset).alias("offset"),
+        )
+
+    def image_span(offset: int, ref):
+        return F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(offset).alias("offset"),
+        )
+
+    spans3 = F.array(
+        text_span(0, F.substring("text", 1, 40)),
+        image_span(1, ref1),
+        text_span(2, F.substring("text", 41, 40)),
+    )
+    spans4 = F.concat(spans3, F.array(image_span(3, ref2)))
+    spans = F.when(d % 3 == 0, spans4).otherwise(spans3)
+    stored = F.when(d % 2 == 1, F.reverse(spans)).otherwise(spans)
+    return docs.select(d.alias("doc_id"), stored.alias("spans"))
+
+
+def flagship_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline over the derived interleaved corpus."""
+    docs = interleaved_documents(spark, sf_dir)
+    media = flagship_media(spark)
+    return ocr_documents(docs, media)
+
+
+def ocr_image_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image spans of the woven output: (doc_id, span_offset, ocr_text).
+    The DuckDB oracle reconstructs these exactly from the golden media
+    text constants — this is the driver-checked assertion that the
+    distributed OCR engine produced the reference-validated text."""
+    woven = flagship_ocr(spark, sf_dir)
+    return (
+        woven.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "image")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("span_offset"),
+            F.col("s.text").alias("ocr_text"),
+        )
+    )
+
+
+_MEDIA_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in MEDIA_TEXT.items())
+
+ORACLE_OCR_IMAGE_SPANS = f"""
+WITH m(ref, expected_text) AS (VALUES {_MEDIA_VALUES}),
+spans AS (
+  SELECT doc_id, 1 AS span_offset,
+         CASE WHEN doc_id % 5 = 4 THEN 'img-blank'
+              ELSE 'img-' || (doc_id % 5)::VARCHAR END AS ref
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3, 'img-' || ((doc_id + 1) % 4)::VARCHAR
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT s.doc_id, s.span_offset, m.expected_text AS ocr_text
+FROM spans s JOIN m ON m.ref = s.ref
+"""
+
+
+def ocr_text_span_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text spans of the woven output (pass-through proof): the oracle
+    recomputes them from the flat table with plain substrings."""
+    woven = flagship_ocr(spark, sf_dir)
+    return (
+        woven.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("span_offset"),
+            F.col("s.text").alias("text"),
+        )
+    )
+
+
+ORACLE_OCR_TEXT_SPANS = """
+SELECT doc_id, 0 AS span_offset, substr(text, 1, 40) AS text FROM documents
+UNION ALL
+SELECT doc_id, 2, substr(text, 41, 40) FROM documents
+"""

@@ -1,0 +1,35 @@
+"""Query/operator library over the driver test tables.
+
+Each module exposes ``QUERIES: dict[str, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[str, str]`` (DuckDB SQL producing identical rows,
+column names aliased to match; floats rounded identically on both sides
+so order-insensitive value hashes agree).
+
+``all_queries()`` / ``all_oracles()`` merge every module for
+``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+
+def load_tables(spark, sf_dir: str, *names: str):
+    """Read the requested parquet tables as DataFrames."""
+    return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def all_queries():
+    from . import dedup, multimodal, relational, similarity, textstats
+
+    out = {}
+    for mod in (relational, dedup, similarity, textstats, multimodal):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles():
+    from . import dedup, multimodal, relational, similarity, textstats
+
+    out = {}
+    for mod in (relational, dedup, similarity, textstats, multimodal):
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,310 @@
+"""Deduplication operators over the documents/embeddings tables: exact,
+MinHash+LSH banding, n-gram Jaccard, SimHash, and embedding-cosine
+near-dup — the core large-corpus training-data cleaning ops.
+
+Hashing is md5-based on BOTH the Spark and DuckDB sides (identical hex
+strings; integers derived by parsing a fixed-width hex prefix), so value
+hashes agree engine-to-engine. All shuffles are groupBy/join on hashed
+keys — uniform by construction, no skew handling needed beyond AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load_tables
+
+MINHASH_K = 8  # signature length
+LSH_BANDS = 4  # bands of rows R = K / BANDS = 2
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.3
+SIMHASH_BITS = 32
+
+# Word 3-shingles as a SQL expression (Spark); toks is 0-based via
+# element_at (1-based) -> concat of 3 consecutive tokens.
+_SPARK_SHINGLES = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    " element_at(split(text, ' '), i + 1), ' ',"
+    " element_at(split(text, ' '), i + 2)))"
+)
+
+# Same shingles in DuckDB (1-based list indexing; range(a,b) is [a,b)).
+_DUCK_SHINGLES = (
+    "[string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||"
+    " string_split(text, ' ')[i+2]"
+    " for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]"
+)
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) hash groups with >1 doc (may legitimately
+    be empty on unique corpora — the oracle agrees either way)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def _minhash_signature_df(spark, sf_dir):
+    """(doc_id, s0..s{K-1}) minhash signatures over word 3-shingles."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{k}")))).alias(f"s{k}")
+        for k in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _bands_df(spark, sf_dir):
+    sig = _minhash_signature_df(spark, sf_dir)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_index"),
+                F.md5(F.concat(*cols)).alias("band_hash"),
+            )
+        )
+    out = bands[0]
+    for df in bands[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def minhash_lsh_buckets(spark, sf_dir):
+    """MinHash+LSH: banded signature buckets containing >1 document —
+    the candidate generation step of near-dup detection at corpus scale
+    (shingle -> K min-hashes -> bands -> bucket-join)."""
+    return (
+        _bands_df(spark, sf_dir)
+        .groupBy("band_index", "band_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _duck_minhash_cte() -> str:
+    sig_cols = ", ".join(
+        f"min(md5(s || '#{k}')) AS s{k}" for k in range(MINHASH_K)
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_index, "
+        f"md5({' || '.join(f's{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        f" AS band_hash FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+"""
+
+
+ORACLE_MINHASH = (
+    _duck_minhash_cte()
+    + """
+SELECT band_index, band_hash, count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS min_doc_id
+FROM bands GROUP BY 1, 2 HAVING count(DISTINCT doc_id) > 1
+"""
+)
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs: LSH candidates verified with exact Jaccard over
+    distinct word-unigram sets (candidates only — never all-pairs)."""
+    bands = _bands_df(spark, sf_dir).select("band_index", "band_hash", "doc_id")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_index", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    inter = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_toks") + F.col("sb.n_toks") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+ORACLE_JACCARD = (
+    _duck_minhash_cte()
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_index = b.band_index AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS n_inter
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b AND ta.tok = tb.tok
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_toks + sb.n_toks - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_toks + sb.n_toks - n_inter), 4) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+def simhash_docs(spark, sf_dir):
+    """Frequency-weighted {SIMHASH_BITS}-bit SimHash per document (token
+    hash = 32-bit md5 prefix; bit b set iff the signed bit-vote sum is
+    positive)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return agg.select("doc_id", simhash.alias("simhash"))
+
+
+def _duck_simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2 ** b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT AS h
+  FROM documents
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM votes
+"""
+
+
+ORACLE_SIMHASH = _duck_simhash_sql()
+
+
+def embedding_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs: label-blocked self-join + explicit
+    double-precision cosine (same fold order as the oracle so rounded
+    values agree bit-for-bit)."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)"
+    na = "sqrt(aggregate(ea, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
+    nb = "sqrt(aggregate(eb, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 3))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("label", "vec_a", "vec_b", "cos")
+    )
+
+
+ORACLE_EMB_COSINE = f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT label, vec_a, vec_b,
+         round(
+           list_sum(list_transform(list_zip(ea, eb), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))),
+         3) AS cos
+  FROM pairs
+)
+SELECT label, vec_a, vec_b, cos FROM scored WHERE cos >= {COSINE_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_lsh_buckets": minhash_lsh_buckets,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash_docs": simhash_docs,
+    "embedding_cosine_pairs": embedding_cosine_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "minhash_lsh_buckets": ORACLE_MINHASH,
+    "ngram_jaccard_pairs": ORACLE_JACCARD,
+    "simhash_docs": ORACLE_SIMHASH,
+    "embedding_cosine_pairs": ORACLE_EMB_COSINE,
+}

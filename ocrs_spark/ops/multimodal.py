@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extract / frame-sample over ``mapInPandas``.
+
+The container has no image/audio codecs (no PIL/cv2/ffmpeg), so the
+payloads are deterministic RAWI images synthesized from each document's
+(doc_id, n_chars) — which makes the *plumbing* fully real (binary column
+-> Arrow batch -> numpy decode -> typed metadata out) while the expected
+values stay SQL-computable in closed form for the DuckDB oracle. The
+actual perceptual decode for real formats is stubbed: codec.decode_image
+raises UnsupportedImageError for JPEG/WebP/video payloads by design.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from . import load_tables
+from ..codec import decode_rawi, encode_rawi
+
+META_SCHEMA = (
+    "doc_id bigint, width int, height int, channels int, n_bytes bigint, "
+    "mean_pixel double, checksum bigint"
+)
+
+FRAME_SCHEMA = "doc_id bigint, n_frames int, sampled string"
+
+
+def _synth_dims(doc_id: int, n_chars: int) -> tuple[int, int, int, int]:
+    """Deterministic fake image geometry from document metadata."""
+    width = (n_chars % 64) + 16
+    height = ((doc_id * 7) % 48) + 16
+    channels = 3
+    fill = doc_id % 251
+    return width, height, channels, fill
+
+
+def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "channels", "n_bytes", "mean_pixel", "checksum")}
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            w, h, c, fill = _synth_dims(int(doc_id), int(n_chars))
+            payload = encode_rawi(np.full((h, w, c), fill, dtype=np.uint8))
+            img = decode_rawi(payload)  # real binary -> numpy roundtrip
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(img.shape[1])
+            out["height"].append(img.shape[0])
+            out["channels"].append(img.shape[2])
+            out["n_bytes"].append(len(payload))
+            out["mean_pixel"].append(round(float(img.mean()), 3))
+            out["checksum"].append(int(img.astype(np.int64).sum() % 997))
+        yield pd.DataFrame(out)
+
+
+def multimodal_decode_meta(spark, sf_dir):
+    """Binary decode + metadata/feature extraction through the real
+    Arrow/pandas path; oracle computes the same values in closed form."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        _decode_meta_batches, schema=META_SCHEMA
+    )
+
+
+ORACLE_DECODE_META = """
+SELECT doc_id,
+       (n_chars % 64 + 16)::INT AS width,
+       ((doc_id * 7) % 48 + 16)::INT AS height,
+       3::INT AS channels,
+       (17 + (n_chars % 64 + 16) * ((doc_id * 7) % 48 + 16) * 3)::BIGINT AS n_bytes,
+       round((doc_id % 251) * 1.0, 3) AS mean_pixel,
+       (((n_chars % 64 + 16) * ((doc_id * 7) % 48 + 16) * 3 * (doc_id % 251)) % 997)::BIGINT AS checksum
+FROM documents
+"""
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        doc_ids, n_frames_col, sampled = [], [], []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n_frames = doc_id % 7 + 1
+            # Sample every 2nd frame starting at 0 (stride-k frame
+            # sampling shape; frames themselves are opaque).
+            idx = list(range(0, n_frames, 2))
+            doc_ids.append(doc_id)
+            n_frames_col.append(n_frames)
+            sampled.append(",".join(str(i) for i in idx))
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "n_frames": n_frames_col, "sampled": sampled}
+        )
+
+
+def multimodal_frame_sample(spark, sf_dir):
+    """Stride-2 frame sampling plumbing over a synthetic per-doc frame
+    count (video decode itself is stubbed; see module docstring)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return docs.select("doc_id").mapInPandas(_frame_sample_batches, schema=FRAME_SCHEMA)
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id,
+       (doc_id % 7 + 1)::INT AS n_frames,
+       array_to_string([i for i in range(0, (doc_id % 7 + 1)::INT, 2)], ',') AS sampled
+FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_decode_meta": ORACLE_DECODE_META,
+    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+}

