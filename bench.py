@@ -1,0 +1,247 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the OCR-pipeline scaling probe at
+local[8] vs local[32] (N vs 4N cores — the sandbox evidence for the
+north rule's two-cluster-size criterion), and prints ONE JSON line:
+
+    {"metric": ..., "value": <total headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "ocr": {...}}
+
+Also refreshes BENCH/BASELINE.md with the measured numbers.
+
+Internal mode (subprocess): ``bench.py --ocr-scale <cores>`` runs only
+the OCR throughput probe in a fresh JVM and prints its JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "window_topk_orders_per_customer",
+    "events_tumbling_window",
+    "explode_token_counts",
+    "reweave_roundtrip",
+    "dedup_exact",
+    "minhash_lsh_buckets",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "embedding_cosine_pairs",
+    "ann_topk_bruteforce",
+    "lang_id_markers",
+    "quality_score",
+    "token_counts",
+    "doc_fingerprint",
+    "multimodal_decode_meta",
+    "ocr_image_span_texts",
+]
+
+# OCR scaling probe corpus size (unique images; docs reference them).
+OCR_BENCH_DOCS = 96
+OCR_BENCH_MEDIA = 512
+
+
+def _force(df) -> int:
+    """Fully evaluate a DataFrame (noop sink computes every column,
+    unlike count() which lets Catalyst prune the expensive ones)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_headline(sf_dir: str) -> dict:
+    from ocrs_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="ocrs_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    timings = {}
+    # Warm the JVM/Python-worker pools once so per-query timings measure
+    # the plan, not process spawning.
+    _force(queries["q6_forecast_revenue"](spark, sf_dir))
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def build_ocr_corpus(spark):
+    """Deterministic OCR bench corpus: OCR_BENCH_MEDIA unique word
+    images referenced by OCR_BENCH_DOCS interleaved docs (every media
+    used at least once => the dedup path still OCRs every image)."""
+    import numpy as np
+
+    from ocrs_spark.codec import encode_rawi
+    from ocrs_spark.fixtures import DOCUMENTS_SCHEMA, MEDIA_SCHEMA, make_word_image
+
+    media_rows = []
+    for m in range(OCR_BENCH_MEDIA):
+        img = make_word_image(1 + m % 3)
+        # Perturb deterministically so every image is unique content.
+        img = img.copy()
+        img[0, m % img.shape[1], :] = 255
+        media_rows.append(
+            {
+                "media_ref": f"bench-{m:05d}",
+                "bytes": bytearray(encode_rawi(img)),
+                "width": img.shape[1],
+                "height": img.shape[0],
+                "channels": img.shape[2],
+            }
+        )
+    doc_rows = []
+    per_doc = OCR_BENCH_MEDIA // OCR_BENCH_DOCS + 1
+    m = 0
+    for d in range(OCR_BENCH_DOCS):
+        spans = []
+        for i in range(per_doc):
+            spans.append(
+                {
+                    "kind": "image",
+                    "text": None,
+                    "media_ref": f"bench-{(m + i) % OCR_BENCH_MEDIA:05d}",
+                    "offset": 2 * i,
+                }
+            )
+            spans.append(
+                {"kind": "text", "text": f"t{d}-{i}", "media_ref": None, "offset": 2 * i + 1}
+            )
+        m += per_doc
+        doc_rows.append({"doc_id": f"bench-doc-{d:05d}", "spans": spans})
+    docs = spark.createDataFrame(doc_rows, schema=DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame(media_rows, schema=MEDIA_SCHEMA)
+    n_spans = sum(len(d["spans"]) for d in doc_rows)
+    n_images = sum(1 for d in doc_rows for s in d["spans"] if s["kind"] == "image")
+    return docs, media, n_images, n_spans
+
+
+def run_ocr_scale(cores: int) -> dict:
+    from ocrs_spark.pipeline import ocr_documents
+    from ocrs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"ocrs_bench_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs, media, n_images, n_spans = build_ocr_corpus(spark)
+    docs = docs.cache()
+    media = media.cache()
+    docs.count(), media.count()
+    # Warm-up (small): spin up Python workers before timing.
+    _force(ocr_documents(docs.limit(4), media, partitions=cores))
+    t0 = time.perf_counter()
+    _force(ocr_documents(docs, media, partitions=cores * 2))
+    wall = time.perf_counter() - t0
+    n_docs = docs.count()
+    spark.stop()
+    return {
+        "cores": cores,
+        "wall_sec": round(wall, 3),
+        "images": n_images,
+        "spans": n_spans,
+        "docs": n_docs,
+        "images_per_sec": round(n_images / wall, 2),
+        "spans_per_sec": round(n_spans / wall, 2),
+        "docs_per_sec": round(n_docs / wall, 2),
+    }
+
+
+def run_scaling_probe() -> dict:
+    """Same job, same input, local[8] vs local[32] in fresh JVMs."""
+    out = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--ocr-scale", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[f"local{cores}"] = json.loads(line)
+    t8 = out["local8"]["images_per_sec"]
+    t32 = out["local32"]["images_per_sec"]
+    out["scaling_efficiency"] = round(t32 / (4 * t8), 3)
+    return out
+
+
+def write_bench_md(sf_dir: str, timings: dict, ocr: dict) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — measured numbers (auto-written by bench.py)",
+        "",
+        f"Input: `{sf_dir}`; master local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}];",
+        f"Arrow batch rows 64; shuffle partitions = cores; fake models (no ONNX runtime in sandbox).",
+        "",
+        "## OCR pipeline scaling (north-rule criterion: efficiency >= 0.8 from N to 4N)",
+        "",
+        "| cores | wall (s) | images/s | spans/s | docs/s |",
+        "|---|---|---|---|---|",
+    ]
+    for key in ("local8", "local32"):
+        r = ocr[key]
+        lines.append(
+            f"| {r['cores']} | {r['wall_sec']} | {r['images_per_sec']} | "
+            f"{r['spans_per_sec']} | {r['docs_per_sec']} |"
+        )
+    lines += [
+        "",
+        f"**Scaling efficiency (8 -> 32 cores): {ocr['scaling_efficiency']}**",
+        "",
+        "## Headline query timings (seconds)",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    for name, sec in timings.items():
+        lines.append(f"| {name} | {sec} |")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--ocr-scale":
+        print(json.dumps(run_ocr_scale(int(sys.argv[2]))))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    timings = run_headline(sf_dir)
+    ocr = run_scaling_probe()
+    write_bench_md(sf_dir, timings, ocr)
+
+    result = {
+        "metric": "headline_queries_total_plus_ocr_scaling",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "ocr": ocr,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Single-image OCR CLI, mirroring the reference CLI's surface
+(``ocrs-cli/src/main.rs:366-497``):
+
+    python -m ocrs_spark.cli image.png [-o out.txt] [--json]
+        [--beam] [--alphabet CHARS] [--allowed-chars CHARS]
+        [--text-map PATH] [--text-mask PATH] [--fake-models]
+
+Reads PNG or RAWI from a path or stdin ('-'), runs the OCR engine
+(ONNX models via --detect-model/--rec-model when onnxruntime is
+available; --fake-models otherwise), prints extracted text or HierText
+JSON, and optionally writes debug probability-map/mask PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .codec import decode_image, encode_png
+from .engine import OcrEngine, OcrEngineParams
+from .models import DEFAULT_ALPHABET, FakeDetectionModel, FakeRecognitionModel, fake_alphabet
+from .output import format_json_output
+
+
+def build_engine(args) -> OcrEngine:
+    if args.fake_models:
+        return OcrEngine(
+            OcrEngineParams(
+                detection_model=FakeDetectionModel(),
+                recognition_model=FakeRecognitionModel(),
+                alphabet=args.alphabet or fake_alphabet(),
+                allowed_chars=args.allowed_chars,
+                beam_width=100 if args.beam else None,
+            )
+        )
+    from .models import OnnxModel
+
+    if not (args.detect_model and args.rec_model):
+        raise SystemExit("--detect-model and --rec-model required (or use --fake-models)")
+    with open(args.detect_model, "rb") as f:
+        det = OnnxModel(f.read())
+    with open(args.rec_model, "rb") as f:
+        rec = OnnxModel(f.read())
+    return OcrEngine(
+        OcrEngineParams(
+            detection_model=det,
+            recognition_model=rec,
+            alphabet=args.alphabet or DEFAULT_ALPHABET,
+            allowed_chars=args.allowed_chars,
+            beam_width=100 if args.beam else None,
+        )
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ocrs_spark.cli", description=__doc__)
+    p.add_argument("image", help="input image path (PNG or RAWI), or '-' for stdin")
+    p.add_argument("-o", "--output", help="output file (default stdout)")
+    p.add_argument("--json", action="store_true", help="emit HierText-style JSON")
+    p.add_argument("--beam", action="store_true", help="beam-search decode (width 100)")
+    p.add_argument("--alphabet")
+    p.add_argument("--allowed-chars")
+    p.add_argument("--detect-model", help="path to detection ONNX model")
+    p.add_argument("--rec-model", help="path to recognition ONNX model")
+    p.add_argument("--fake-models", action="store_true", help="use hermetic fake models")
+    p.add_argument("--text-map", help="write raw text probability map PNG here")
+    p.add_argument("--text-mask", help="write thresholded text mask PNG here")
+    args = p.parse_args(argv)
+
+    data = sys.stdin.buffer.read() if args.image == "-" else open(args.image, "rb").read()
+    img = decode_image(data)
+    engine = build_engine(args)
+    grey = engine.prepare_input(img)
+
+    if args.text_map or args.text_mask:
+        prob = engine.detect_text_pixels(grey)
+        if args.text_map:
+            with open(args.text_map, "wb") as f:
+                f.write(encode_png((np.clip(prob, 0, 1) * 255).astype(np.uint8)))
+        if args.text_mask:
+            mask = (prob > engine.detector.text_threshold).astype(np.uint8) * 255
+            with open(args.text_mask, "wb") as f:
+                f.write(encode_png(mask))
+
+    words = engine.detect_words(grey)
+    lines = engine.find_text_lines(words)
+    recognized = engine.recognize_text(grey, lines)
+
+    if args.json:
+        out = format_json_output(args.image, grey.shape, recognized)
+    else:
+        out = "\n".join(l.text() for l in recognized if l is not None)
+
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out + "\n")
+    else:
+        print(out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

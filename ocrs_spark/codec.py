@@ -137,6 +137,34 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.reshape(height, width, channels)
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an HWC (or HW) uint8 array as an 8-bit PNG (filter 0).
+    Used for debug text-map/text-mask outputs (counterpart of
+    ocrs-cli/src/main.rs:423-436)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise UnsupportedImageError(f"cannot encode {c}-channel PNG")
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        data = ctype + payload
+        return struct.pack(">I", len(payload)) + data + struct.pack(
+            ">I", zlib.crc32(data) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes -> HWC uint8 array."""
     if data[:4] == RAWI_MAGIC:

@@ -1,0 +1,84 @@
+"""Structured Streaming surfaces.
+
+Two shapes (SURVEY.md §2.6 / task mandate):
+- ``stream_events_tumbling``: windowed aggregation with watermarked
+  event-time over the events table read as a stream (the canonical
+  readStream -> window agg -> sink pipeline; batch-equivalent oracle is
+  ORACLE_TUMBLING in ops.relational);
+- ``stream_ocr_documents``: incremental OCR — new document files landing
+  in a directory are exploded, OCR'd and woven via ``foreachBatch``
+  reusing the exact batch pipeline, with checkpointed exactly-once sink
+  semantics from Spark's streaming commit log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import ocr_documents
+
+
+def stream_events_tumbling(
+    spark: SparkSession, events_path: str, checkpoint_dir: str, out_table: str
+) -> None:
+    """Run the hourly windowed count as an availableNow stream into an
+    in-memory sink named ``out_table``. Watermark bounds state for true
+    continuous runs; availableNow drains the backlog and stops."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        # Parquet gives timestamp_ntz; watermarks need a zoned timestamp.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_ocr_documents(
+    spark: SparkSession,
+    documents_dir: str,
+    media: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    engine_conf: dict | None = None,
+) -> None:
+    """Incremental OCR over a growing parquet directory of documents.
+
+    foreachBatch reuses the batch pipeline unchanged — each micro-batch
+    is exploded, skew-repartitioned, OCR'd and woven, then appended to
+    ``output_dir``; the streaming checkpoint gives exactly-once file
+    processing across restarts.
+    """
+    engine_conf = engine_conf or {"kind": "fake"}
+    schema = spark.read.parquet(documents_dir).schema
+    stream = spark.readStream.schema(schema).parquet(documents_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        woven = ocr_documents(batch_df, media, engine_conf=engine_conf)
+        woven.write.mode("append").parquet(output_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

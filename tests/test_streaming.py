@@ -1,0 +1,63 @@
+"""Structured Streaming tests: windowed agg equals the batch oracle;
+incremental foreachBatch OCR is exactly-once across restarts."""
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from ocrs_spark.fixtures import corpus_to_spark, generate_corpus
+from ocrs_spark.ops.relational import ORACLE_TUMBLING
+from ocrs_spark.streaming import stream_events_tumbling, stream_ocr_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_matches_batch_oracle(spark, tmp_path):
+    # The file stream source requires a directory; stage the table.
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(events_dir)
+    stream_events_tumbling(
+        spark,
+        events_dir,
+        str(tmp_path / "ckpt"),
+        "stream_tumbling_out",
+    )
+    got = sorted(tuple(r) for r in spark.table("stream_tumbling_out").collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    want = sorted(tuple(r) for r in con.sql(ORACLE_TUMBLING).fetchall())
+    assert got == want
+
+
+def test_stream_ocr_incremental_exactly_once(spark, tmp_path):
+    corpus = generate_corpus(n_docs=8, seed=3)
+    docs, media, expected = corpus_to_spark(spark, corpus)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "sckpt")
+
+    half1 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    half2 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+
+    half1.write.mode("append").parquet(in_dir)
+    stream_ocr_documents(spark, in_dir, media, ckpt, out_dir)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == half1.count()
+
+    # New files arrive; restart the stream from its checkpoint: only the
+    # new files are processed (exactly-once), totals add up.
+    half2.write.mode("append").parquet(in_dir)
+    stream_ocr_documents(spark, in_dir, media, ckpt, out_dir)
+    result = spark.read.parquet(out_dir)
+    assert result.count() == docs.count()
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    woven = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in result.collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in expected.collect()
+    }
+    assert woven == want
