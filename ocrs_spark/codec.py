@@ -47,6 +47,41 @@ def decode_rawi(data: bytes) -> np.ndarray:
     return pixels.reshape(h, w, c)
 
 
+RLEI_MAGIC = b"RLEI"
+
+
+def encode_rlei(img: np.ndarray) -> bytes:
+    """Run-length-encoded image container (HWC/HW uint8). Synthetic page
+    images (flat regions) compress ~50-100x, letting benches ship large
+    pixel arrays through broadcast joins at KB wire cost."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    flat = img.reshape(-1)
+    # Run boundaries where the value changes.
+    change = np.nonzero(np.diff(flat))[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [flat.size]))
+    values = flat[starts]
+    lengths = (ends - starts).astype(np.uint32)
+    return (
+        RLEI_MAGIC
+        + struct.pack("<BIII I", 1, h, w, c, len(values))
+        + values.tobytes()
+        + lengths.tobytes()
+    )
+
+
+def decode_rlei(data: bytes) -> np.ndarray:
+    if data[:4] != RLEI_MAGIC:
+        raise UnsupportedImageError("not a RLEI payload")
+    _, h, w, c, n = struct.unpack("<BIII I", data[4:21])
+    values = np.frombuffer(data, dtype=np.uint8, count=n, offset=21)
+    lengths = np.frombuffer(data, dtype=np.uint32, count=n, offset=21 + n)
+    return np.repeat(values, lengths).reshape(h, w, c)
+
+
 # ------------------------------------------------------------------- PNG
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -169,6 +204,8 @@ def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes -> HWC uint8 array."""
     if data[:4] == RAWI_MAGIC:
         return decode_rawi(data)
+    if data[:4] == RLEI_MAGIC:
+        return decode_rlei(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
-    raise UnsupportedImageError("unsupported image format (RAWI and PNG supported)")
+    raise UnsupportedImageError("unsupported image format (RAWI, RLEI and PNG supported)")

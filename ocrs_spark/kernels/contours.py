@@ -32,9 +32,20 @@ def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     Returns (labels, n) where labels is int32 (0 = background,
     components numbered 1..n in raster order of their first pixel).
     """
+    runs_by_label, h, w = _component_runs(mask)
+    labels = np.zeros((h, w), dtype=np.int32)
+    for lbl, runs in enumerate(runs_by_label, start=1):
+        for y, s, e in runs:
+            labels[y, s:e] = lbl
+    return labels, len(runs_by_label)
+
+
+def _component_runs(mask: np.ndarray):
+    """Row-run union-find labeling. Returns (runs_by_label, h, w) where
+    runs_by_label[i] is the list of (y, start, end) half-open runs of
+    component i+1, in raster order of first appearance."""
     mask = np.asarray(mask, dtype=bool)
     h, w = mask.shape
-    labels = np.zeros((h, w), dtype=np.int32)
 
     parent: list[int] = [0]  # union-find over run ids; parent[0] unused
 
@@ -77,72 +88,87 @@ def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
 
     # Resolve roots to dense component labels in raster order.
     root_to_label: dict[int, int] = {}
-    n = 0
-    for runs in run_rows:
-        for s, e, rid in runs:
-            r = find(rid)
-            if r not in root_to_label:
-                n += 1
-                root_to_label[r] = n
+    runs_by_label: list[list[tuple[int, int, int]]] = []
     for y, runs in enumerate(run_rows):
         for s, e, rid in runs:
-            labels[y, s:e] = root_to_label[find(rid)]
-    return labels, n
+            r = find(rid)
+            lbl = root_to_label.get(r)
+            if lbl is None:
+                lbl = len(runs_by_label)
+                root_to_label[r] = lbl
+                runs_by_label.append([])
+            runs_by_label[lbl].append((y, s, e))
+    return runs_by_label, h, w
 
 
-def trace_outer_contour(labels: np.ndarray, label: int, start: tuple[int, int]) -> list[tuple[int, int]]:
-    """Moore-neighbor tracing (clockwise, Jacob's stopping criterion) of
-    the outer border of one component. ``start`` is the (x, y) of its
-    topmost-leftmost pixel. Returns border pixel coordinates as (x, y),
-    in traversal order."""
-    h, w = labels.shape
-    sx, sy = start
+_DIR_INDEX = {v: i for i, v in enumerate(_MOORE)}
 
-    def is_fg(x: int, y: int) -> bool:
-        return 0 <= x < w and 0 <= y < h and labels[y, x] == label
 
-    dir_index = {v: i for i, v in enumerate(_MOORE)}
-
+def _trace_on_grid(grid: list[list[bool]], sx: int, sy: int, max_steps: int) -> list[tuple[int, int]]:
+    """Moore-neighbor tracing (clockwise, Jacob's stopping criterion) on
+    a padded boolean grid (grid[y][x]; a 1-pixel False border makes
+    bounds checks unnecessary). ``(sx, sy)`` is the topmost-leftmost
+    foreground pixel. Returns border pixels (x, y) in traversal order."""
+    moore = _MOORE
+    dir_index = _DIR_INDEX
     contour = [(sx, sy)]
-    cur = (sx, sy)
-    back = (sx - 1, sy)  # entered the start pixel from the West
+    cx, cy = sx, sy
+    bx, by = sx - 1, sy  # entered the start pixel from the West
     first_move = None
-    max_steps = 4 * (h * w + 8)
     for _ in range(max_steps):
-        bdir = dir_index[(back[0] - cur[0], back[1] - cur[1])]
+        bdir = dir_index[(bx - cx, by - cy)]
         nxt = None
         for k in range(1, 9):
-            d = (bdir + k) % 8
-            cand = (cur[0] + _MOORE[d][0], cur[1] + _MOORE[d][1])
-            if is_fg(*cand):
-                nxt = cand
+            dx, dy = moore[(bdir + k) % 8]
+            nx, ny = cx + dx, cy + dy
+            if grid[ny][nx]:
+                nxt = (nx, ny)
                 break
-            back = cand  # last background cell examined
+            bx, by = nx, ny  # last background cell examined
         if nxt is None:
             return contour  # isolated pixel
-        if cur == (sx, sy):
+        if cx == sx and cy == sy:
             if first_move is None:
                 first_move = nxt
             elif nxt == first_move:
                 return contour  # completed the loop
-        cur = nxt
-        contour.append(cur)
+        cx, cy = nxt
+        contour.append(nxt)
     raise RuntimeError("contour tracing did not terminate")
+
+
+def trace_outer_contour(labels: np.ndarray, label: int, start: tuple[int, int]) -> list[tuple[int, int]]:
+    """Back-compat wrapper: trace one component of a label image."""
+    grid = np.pad(labels == label, 1).tolist()
+    sx, sy = start
+    pts = _trace_on_grid(grid, sx + 1, sy + 1, 4 * (labels.size + 8))
+    return [(x - 1, y - 1) for x, y in pts]
 
 
 def find_contours_external(mask: np.ndarray) -> list[list[tuple[int, int]]]:
     """Outer contour of each 8-connected component, as ordered (x, y)
     border-pixel lists (counterpart of rten-imageproc find_contours with
-    RetrievalMode::External, used at detection.rs:46)."""
-    labels, n = label_components(mask)
-    if n == 0:
-        return []
+    RetrievalMode::External, used at detection.rs:46).
+
+    Each component is traced on its own padded bounding-box crop (built
+    from the labeling runs), so cost scales with component perimeter,
+    not image area."""
+    runs_by_label, h, w = _component_runs(mask)
     contours = []
-    for lbl in range(1, n + 1):
-        ys, xs = np.nonzero(labels == lbl)
-        i = np.lexsort((xs, ys))[0]
-        start = (int(xs[i]), int(ys[i]))
-        contours.append(trace_outer_contour(labels, lbl, start))
+    for runs in runs_by_label:
+        y0 = runs[0][0]
+        y1 = runs[-1][0]
+        x0 = min(s for _, s, _ in runs)
+        x1 = max(e for _, _, e in runs)
+        ch, cw = y1 - y0 + 1, x1 - x0
+        crop = np.zeros((ch + 2, cw + 2), dtype=bool)
+        for y, s, e in runs:
+            crop[y - y0 + 1, s - x0 + 1 : e - x0 + 1] = True
+        grid = crop.tolist()
+        # Start = topmost-leftmost pixel (raster order of first run).
+        sx, sy = runs[0][1] - x0 + 1, 1
+        pts = _trace_on_grid(grid, sx, sy, 4 * ((ch + 2) * (cw + 2) + 8))
+        contours.append([(x + x0 - 1, y + y0 - 1) for x, y in pts])
     return contours
 
 
@@ -160,13 +186,13 @@ def simplify_polyline(points: list[tuple[float, float]], eps: float) -> list[tup
         if i1 <= i0 + 1:
             continue
         p0, p1 = pts[i0], pts[i1]
-        seg = p1 - p0
-        seg_len = math.hypot(seg[0], seg[1])
+        ex, ey = p1[0] - p0[0], p1[1] - p0[1]
+        seg_len = math.hypot(ex, ey)
         mid = pts[i0 + 1 : i1]
         if seg_len == 0:
             d = np.hypot(mid[:, 0] - p0[0], mid[:, 1] - p0[1])
         else:
-            d = np.abs(np.cross(seg, mid - p0)) / seg_len
+            d = np.abs(ex * (mid[:, 1] - p0[1]) - ey * (mid[:, 0] - p0[0])) / seg_len
         k = int(np.argmax(d))
         if d[k] > eps:
             j = i0 + 1 + k

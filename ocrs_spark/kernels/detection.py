@@ -97,7 +97,12 @@ class TextDetector:
         if not images:
             return []
         prepped = [self.prepare_model_input(img) for img in images]
-        batch = np.stack([p[0] for p in prepped])[:, None, :, :].astype(np.float32)
+        # Preallocate + assign instead of np.stack: one contiguous buffer,
+        # no temporary views (np.stack's concatenate path is slow for
+        # many mid-size arrays and churns fresh allocations).
+        batch = np.empty((len(images), 1, self.in_h, self.in_w), dtype=np.float32)
+        for i, (model_in, _, _) in enumerate(prepped):
+            batch[i, 0] = model_in
         out = np.asarray(self.model.run(batch), dtype=np.float32).reshape(
             len(images), self.in_h, self.in_w
         )

@@ -52,7 +52,8 @@ class FakeDetectionModel(Model):
         return [None, 1, self._h, self._w]
 
     def run(self, input: np.ndarray) -> np.ndarray:
-        return (np.asarray(input, dtype=np.float32) + np.float32(0.5)).astype(np.float32)
+        out = np.asarray(input, dtype=np.float32) + np.float32(0.5)
+        return out.astype(np.float32, copy=False)
 
 
 class FakeRecognitionModel(Model):

@@ -50,13 +50,19 @@ def build_engine(conf: dict) -> OcrEngine:
     """Executor-local engine singleton (one onnx/fake session per Python
     worker, mirroring the reference's cached model load,
     ocrs-cli/src/models.rs:100-107)."""
+    from .malloc_tuning import pretouch_arena
+
+    pretouch_arena()  # worker-side: image batches must reuse heap pages
     key = tuple(sorted(conf.items()))
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
         if conf.get("kind", "fake") == "fake":
             eng = OcrEngine(
                 OcrEngineParams(
-                    detection_model=FakeDetectionModel(),
+                    detection_model=FakeDetectionModel(
+                        height=int(conf.get("det_h", 200)),
+                        width=int(conf.get("det_w", 100)),
+                    ),
                     recognition_model=FakeRecognitionModel(),
                     alphabet=fake_alphabet(),
                 )

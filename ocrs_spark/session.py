@@ -26,6 +26,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    from .malloc_tuning import export_malloc_env, tune_malloc
+
+    tune_malloc()  # driver-side numpy work (fixtures, local engine runs)
+    export_malloc_env()  # inherited by the JVM and its Python workers
+
     # Make the package importable in executor Python workers. In local
     # mode workers inherit the driver env; on a real cluster ship the
     # package with `spark-submit --py-files ocrs_spark.zip` instead.
