@@ -67,6 +67,7 @@ def main(argv=None) -> int:
     p.add_argument("--fake-models", action="store_true", help="use hermetic fake models")
     p.add_argument("--text-map", help="write raw text probability map PNG here")
     p.add_argument("--text-mask", help="write thresholded text mask PNG here")
+    p.add_argument("--png", help="write annotated PNG (line + word boxes) here")
     args = p.parse_args(argv)
 
     data = sys.stdin.buffer.read() if args.image == "-" else open(args.image, "rb").read()
@@ -87,6 +88,13 @@ def main(argv=None) -> int:
     words = engine.detect_words(grey)
     lines = engine.find_text_lines(words)
     recognized = engine.recognize_text(grey, lines)
+
+    if args.png:
+        from .output import generate_annotated_image
+
+        annotated = generate_annotated_image(img, lines, recognized)
+        with open(args.png, "wb") as f:
+            f.write(encode_png(annotated))
 
     if args.json:
         out = format_json_output(args.image, grey.shape, recognized)

@@ -70,6 +70,20 @@ class OcrEngine:
     def find_text_lines(self, words: list[RotatedRect]) -> list[list[RotatedRect]]:
         return find_text_lines(words)
 
+    def prepare_recognition_input(self, grey: np.ndarray, line) -> np.ndarray:
+        """Debug API: the preprocessed line image fed to the recognition
+        model (lib.rs:268-278)."""
+        if self.recognizer is None:
+            raise RuntimeError("Recognition model not loaded")
+        return self.recognizer.prepare_line_input(grey, line)
+
+    @property
+    def detection_threshold(self) -> float:
+        """Confidence threshold classifying a pixel as text (lib.rs:282-287)."""
+        from .kernels.detection import DEFAULT_TEXT_THRESHOLD
+
+        return self.detector.text_threshold if self.detector else DEFAULT_TEXT_THRESHOLD
+
     def recognize_text(
         self, grey: np.ndarray, lines: list[list[RotatedRect]]
     ) -> list[TextLine | None]:

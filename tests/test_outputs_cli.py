@@ -1,0 +1,108 @@
+"""Output sinks + CLI surface tests (mirrors the reference CLI layer,
+ocrs-cli/src/output.rs and main.rs)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ocrs_spark import FakeDetectionModel, FakeRecognitionModel, OcrEngine, OcrEngineParams
+from ocrs_spark.codec import decode_png, encode_png, encode_rawi, encode_rlei, decode_rlei
+from ocrs_spark.fixtures import make_word_image
+from ocrs_spark.models import fake_alphabet
+from ocrs_spark.output import format_json_output, generate_annotated_image
+
+
+def engine():
+    return OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            recognition_model=FakeRecognitionModel(),
+            alphabet=fake_alphabet(),
+        )
+    )
+
+
+def ocr(img):
+    eng = engine()
+    grey = eng.prepare_input(img)
+    words = eng.detect_words(grey)
+    lines = eng.find_text_lines(words)
+    return grey, lines, eng.recognize_text(grey, lines)
+
+
+def test_json_output_shape():
+    img = make_word_image(2)
+    grey, lines, rec = ocr(img)
+    doc = json.loads(format_json_output("x.png", grey.shape, rec))
+    assert doc["image_width"] == 200 and doc["image_height"] == 100
+    (para,) = doc["paragraphs"]
+    assert len(para["lines"]) == 1
+    line = para["lines"][0]
+    assert line["text"] == "77"
+    assert len(line["vertices"]) == 4
+    for word in line["words"]:
+        assert len(word["vertices"]) == 4
+
+
+def test_annotated_image():
+    img = make_word_image(3)
+    grey, lines, rec = ocr(img)
+    out = generate_annotated_image(img, lines, rec)
+    assert out.shape == img.shape
+    assert not np.array_equal(out, img)  # something was drawn
+
+
+def test_rlei_roundtrip():
+    img = make_word_image(3)
+    data = encode_rlei(img)
+    assert len(data) < img.size // 10  # actually compresses
+    np.testing.assert_array_equal(decode_rlei(data), img)
+
+
+def test_png_roundtrip():
+    img = make_word_image(2)
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+@pytest.mark.parametrize("fmt", ["rawi", "png"])
+def test_cli_end_to_end(tmp_path, fmt):
+    img = make_word_image(3)
+    path = tmp_path / f"img.{fmt}"
+    path.write_bytes(encode_rawi(img) if fmt == "rawi" else encode_png(img))
+    r = subprocess.run(
+        [sys.executable, "-m", "ocrs_spark.cli", str(path), "--fake-models"],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0
+    assert r.stdout.strip() == "777"
+
+
+def test_cli_stdin_json_and_debug_sinks(tmp_path):
+    img = make_word_image(2)
+    mask_path = tmp_path / "mask.png"
+    png_path = tmp_path / "annot.png"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ocrs_spark.cli",
+            "-",
+            "--fake-models",
+            "--json",
+            "--text-mask",
+            str(mask_path),
+            "--png",
+            str(png_path),
+        ],
+        input=encode_rawi(img),
+        capture_output=True,
+    )
+    assert r.returncode == 0
+    doc = json.loads(r.stdout)
+    assert doc["paragraphs"][0]["lines"][0]["text"] == "77"
+    assert decode_png(mask_path.read_bytes()).max() == 255
+    assert decode_png(png_path.read_bytes()).shape == img.shape
