@@ -85,8 +85,25 @@ def run_headline(sf_dir: str) -> dict:
     queries = entry_mod.queries()
     timings = {}
     # Warm the JVM/Python-worker pools once so per-query timings measure
-    # the plan, not process spawning.
+    # the plan, not process spawning: every worker must import the
+    # engine and pre-touch its heap arena before the clock starts (AQE
+    # coalescing is disabled for the warmup so all workers get a task).
     _force(queries["q6_forecast_revenue"](spark, sf_dir))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    def _warm_worker(batches):
+        from ocrs_spark.pipeline import build_engine
+
+        build_engine({"kind": "fake"})
+        yield from batches
+
+    _force(
+        spark.range(cores * 100)
+        .repartition(cores)
+        .mapInPandas(_warm_worker, schema="id long")
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     for name in HEADLINE:
         t0 = time.perf_counter()
         _force(queries[name](spark, sf_dir))

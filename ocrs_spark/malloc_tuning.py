@@ -43,7 +43,7 @@ def tune_malloc() -> bool:
 _touched = False
 
 
-def pretouch_arena(mb: int = 256) -> None:
+def pretouch_arena(mb: int = 128) -> None:
     """Fault a scratch heap arena in once per process and release it for
     reuse. With trim disabled the pages stay with the process, so image
     batches and resize outputs never hit the (pathologically slow)

@@ -20,14 +20,22 @@ JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.3
 SIMHASH_BITS = 32
 
-# Word 3-shingles as a SQL expression (Spark); toks is 0-based via
-# element_at (1-based) -> concat of 3 consecutive tokens.
-_SPARK_SHINGLES = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-    " i -> concat(element_at(split(text, ' '), i), ' ',"
-    " element_at(split(text, ' '), i + 1), ' ',"
-    " element_at(split(text, ' '), i + 2)))"
+# Word 3-shingles over a pre-split `toks` column (split() is hoisted
+# into its own projection so the text is tokenized once per row, not
+# once per shingle index).
+_SPARK_SHINGLES_FROM_TOKS = (
+    "transform(sequence(1, greatest(size(toks) - 2, 0)),"
+    " i -> concat(element_at(toks, i), ' ',"
+    " element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
 )
+
+
+def shingles_df(docs):
+    """(doc_id, s) exploded word 3-shingles."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES_FROM_TOKS)).alias("s"))
+    )
 
 # Same shingles in DuckDB (1-based list indexing; range(a,b) is [a,b)).
 _DUCK_SHINGLES = (
@@ -58,9 +66,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 def _minhash_signature_df(spark, sf_dir):
     """(doc_id, s0..s{K-1}) minhash signatures over word 3-shingles."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
-    )
+    sh = shingles_df(docs)
     aggs = [
         F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{k}")))).alias(f"s{k}")
         for k in range(MINHASH_K)

@@ -40,6 +40,9 @@ def _synth_dims(doc_id: int, n_chars: int) -> tuple[int, int, int, int]:
 
 
 def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..malloc_tuning import pretouch_arena
+
+    pretouch_arena(64)
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "width", "height", "channels", "n_bytes", "mean_pixel", "checksum")}
         for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -78,6 +81,9 @@ FROM documents
 
 
 def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..malloc_tuning import pretouch_arena
+
+    pretouch_arena(16)
     for pdf in batches:
         doc_ids, n_frames_col, sampled = [], [], []
         for doc_id in pdf["doc_id"]:

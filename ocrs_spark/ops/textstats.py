@@ -25,13 +25,6 @@ TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 _FINGERPRINT_K = 4
 
-_SPARK_SHINGLES = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),"
-    " i -> concat(element_at(split(text, ' '), i), ' ',"
-    " element_at(split(text, ' '), i + 1), ' ',"
-    " element_at(split(text, ' '), i + 2)))"
-)
-
 _DUCK_SHINGLES = (
     "[string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||"
     " string_split(text, ' ')[i+2]"
@@ -154,10 +147,10 @@ def doc_fingerprint(spark, sf_dir):
     of the doc's distinct word 3-shingles, pipe-joined. Equal
     fingerprints => near-identical prefixes of the shingle hash order —
     a compact dedup/lineage key."""
+    from .dedup import shingles_df
+
     (docs,) = load_tables(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("s")
-    ).select("doc_id", F.md5("s").alias("h")).distinct()
+    sh = shingles_df(docs).select("doc_id", F.md5("s").alias("h")).distinct()
     return sh.groupBy("doc_id").agg(
         F.array_join(
             F.slice(F.array_sort(F.collect_set("h")), 1, _FINGERPRINT_K), "|"
