@@ -347,6 +347,53 @@ GROUP BY doc_id
 """
 
 
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + running sum of
+    session-break flags per user — the batch shape of the stateful
+    streaming sessionizer in ocrs_spark.streaming."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    # Parquet timestamps are timestamp_ntz; cast via timestamp to epoch.
+    events = events.withColumn("ts_epoch", F.col("ts").cast("timestamp").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        (
+            F.col("ts_epoch") - F.lag("ts_epoch", 1, 0).over(w)
+            > SESSION_GAP_MIN * 60
+        ).cast("int"),
+    )
+    sessions = flagged.withColumn("session_idx", F.sum("new_session").over(w))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("ts_epoch").alias("session_start"),
+        F.max("ts_epoch").alias("session_end"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN (epoch_ms(ts) // 1000) - lag((epoch_ms(ts) // 1000), 1, 0)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       min((epoch_ms(ts) // 1000)) AS session_start,
+       max((epoch_ms(ts) // 1000)) AS session_end
+FROM sessions GROUP BY user_id, session_idx
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -359,6 +406,7 @@ QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "explode_token_counts": explode_token_counts,
     "reweave_roundtrip": reweave_roundtrip,
+    "events_sessionize": events_sessionize,
 }
 
 ORACLES = {
@@ -373,4 +421,5 @@ ORACLES = {
     "events_tumbling_window": ORACLE_TUMBLING,
     "explode_token_counts": ORACLE_EXPLODE_TOKENS,
     "reweave_roundtrip": ORACLE_REWEAVE,
+    "events_sessionize": ORACLE_SESSIONIZE,
 }

@@ -112,12 +112,116 @@ ORACLE_ANN_LSH = (
 )
 
 
+IVF_CENTROIDS = 8  # deterministic "training": first K vectors are centroids
+IVF_NPROBE = 2
+
+
+def _cos_expr(a: str, b: str) -> str:
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)"
+    na = f"sqrt(aggregate({a}, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
+    nb = f"sqrt(aggregate({b}, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: assign every vector to its nearest of K fixed
+    centroids (deterministically the first K vectors), then answer each
+    query by scanning only its IVF_NPROBE nearest centroid lists. At
+    corpus scale the centroid assignment is a narrow broadcast pass and
+    the probe is a partition-pruned scan instead of a full cross join.
+    Output includes the probed-list rank (approximate by construction —
+    recall vs brute force is a quality metric, not a correctness bug)."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    # Assign each vector to its nearest centroid (broadcast K rows).
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.expr(_cos_expr("embedding", "ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("arank", F.row_number().over(w_assign))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "centroid_id", "embedding")
+    )
+    # Queries probe their IVF_NPROBE nearest centroid lists.
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qprobe = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("qcos", F.expr(_cos_expr("qe", "ce")))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= IVF_NPROBE)
+        .select("query_id", "qe", "centroid_id")
+    )
+    cands = (
+        probes.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(F.expr(_cos_expr("qe", "embedding")), 3))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos")
+    )
+
+
+_DUCK_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+ORACLE_ANN_IVF = f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < {IVF_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, centroid_id, embedding FROM (
+    SELECT e.vec_id, c.centroid_id, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.ce')} DESC,
+                                       c.centroid_id ASC) AS arank
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE arank = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_DUCK_COS.format(a='q.qe', b='c.ce')} DESC,
+                                       c.centroid_id ASC) AS prank
+    FROM q CROSS JOIN cent c
+  ) WHERE prank <= {IVF_NPROBE}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id,
+         round({_DUCK_COS.format(a='p.qe', b='a.embedding')}, 3) AS cos
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE p.query_id != a.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cands)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": ORACLE_ANN_BRUTE,
     "ann_lsh_buckets": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
 }

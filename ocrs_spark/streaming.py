@@ -52,6 +52,86 @@ def stream_events_tumbling(
     q.awaitTermination()
 
 
+SESSION_GAP_SEC = 30 * 60
+
+_SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start bigint, session_end bigint, "
+    "n_events bigint, sum_value double"
+)
+_SESSION_STATE_SCHEMA = (
+    "session_start bigint, session_end bigint, n_events bigint, sum_value double"
+)
+
+
+def _sessionize_group(key, pdfs, state):
+    """applyInPandasWithState function: maintain the open session per
+    user across micro-batches; emit a session whenever a gap larger
+    than SESSION_GAP_SEC closes it. The trailing session stays in state
+    (it would be flushed by a timeout in a continuous run)."""
+    import pandas as pd
+
+    (user_id,) = key
+    events = pd.concat(list(pdfs)).sort_values(["ts_epoch", "event_id"])
+    if state.exists:
+        start, end, n, total = state.get
+    else:
+        start = end = None
+        n, total = 0, 0.0
+
+    closed = []
+    for ts, value in zip(events["ts_epoch"], events["value"]):
+        ts, value = int(ts), float(value)
+        if start is None:
+            start, end, n, total = ts, ts, 1, value
+        elif ts - end > SESSION_GAP_SEC:
+            closed.append((user_id, start, end, n, round(total, 2)))
+            start, end, n, total = ts, ts, 1, value
+        else:
+            end, n, total = ts, n + 1, total + value
+    state.update((start, end, n, total))
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+        )
+
+
+def stream_sessionize_events(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str, out_table: str
+) -> None:
+    """Custom stateful streaming operator: gap-based sessionization per
+    user via applyInPandasWithState (arbitrary state, not expressible as
+    a windowed agg). availableNow drains the backlog; sessions closed by
+    observed gaps are emitted, each user's open tail session remains in
+    state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts_epoch", F.col("ts").cast("timestamp").cast("long"))
+        .select("user_id", "event_id", "ts_epoch", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_ocr_documents(
     spark: SparkSession,
     documents_dir: str,

@@ -6,8 +6,12 @@ import duckdb
 from pyspark.sql import functions as F
 
 from ocrs_spark.fixtures import corpus_to_spark, generate_corpus
-from ocrs_spark.ops.relational import ORACLE_TUMBLING
-from ocrs_spark.streaming import stream_events_tumbling, stream_ocr_documents
+from ocrs_spark.ops.relational import ORACLE_TUMBLING, events_sessionize
+from ocrs_spark.streaming import (
+    stream_events_tumbling,
+    stream_ocr_documents,
+    stream_sessionize_events,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -27,6 +31,31 @@ def test_stream_tumbling_matches_batch_oracle(spark, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
     want = sorted(tuple(r) for r in con.sql(ORACLE_TUMBLING).fetchall())
     assert got == want
+
+
+def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """The stateful streaming sessionizer must produce exactly the batch
+    sessionization result minus each user's trailing (still-open)
+    session."""
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(events_dir)
+    stream_sessionize_events(
+        spark, events_dir, str(tmp_path / "ckpt"), "stream_sessions_out"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.table("stream_sessions_out").collect()
+    }
+    batch = events_sessionize(spark, SF_DIR).collect()
+    last_idx = {}
+    for r in batch:
+        last_idx[r["user_id"]] = max(last_idx.get(r["user_id"], -1), r["session_idx"])
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in batch
+        if r["session_idx"] != last_idx[r["user_id"]]
+    }
+    assert got == want and len(want) > 0
 
 
 def test_stream_ocr_incremental_exactly_once(spark, tmp_path):
