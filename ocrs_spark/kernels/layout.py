@@ -36,33 +36,54 @@ def _rects_separated_by_line(a: RotatedRect, b: RotatedRect, sep: Line) -> bool:
     return Line(a.cx, a.cy, b.cx, b.cy).intersects(sep)
 
 
+class _RectGeom:
+    """Per-rect geometry cached once: the greedy chaining loop touches
+    each candidate's edges O(lines x words) times."""
+
+    __slots__ = ("rect", "left", "ledge", "redge", "lex", "rex", "ly0", "ly1", "ry0", "ry1")
+
+    def __init__(self, rect: RotatedRect):
+        self.rect = rect
+        self.left = int(rect.bounding_rect().left)
+        self.ledge = leftmost_edge(rect)
+        self.redge = rightmost_edge(rect)
+        self.lex = self.ledge.center()[0]
+        self.rex = self.redge.center()[0]
+        self.ly0 = min(self.ledge.y0, self.ledge.y1)
+        self.ly1 = max(self.ledge.y0, self.ledge.y1)
+        self.ry0 = min(self.redge.y0, self.redge.y1)
+        self.ry1 = max(self.redge.y0, self.redge.y1)
+
+
 def group_into_lines(rects: list[RotatedRect], separators: list[Line]) -> list[list[RotatedRect]]:
-    sorted_rects = sorted(rects, key=lambda r: int(r.bounding_rect().left))
+    pool = sorted((_RectGeom(r) for r in rects), key=lambda g: g.left)
     lines: list[list[RotatedRect]] = []
-    while sorted_rects:
-        line = [sorted_rects.pop(0)]
+    while pool:
+        line = [pool.pop(0)]
         while True:
             last = line[-1]
-            last_edge = rightmost_edge(last)
             best_i, best_key = None, None
-            for i, r in enumerate(sorted_rects):
-                edge = leftmost_edge(r)
+            for i, g in enumerate(pool):
+                # Same predicate as the reference (layout_analysis.rs:47-58):
+                # center beyond last, bounded horizontal overlap, vertical
+                # overlap of facing edges, not across a separator.
                 if not (
-                    r.cx > last.cx
-                    and edge.center()[0] - last_edge.center()[0] >= -MAX_H_OVERLAP
-                    and last_edge.vertical_overlap(edge) >= OVERLAP_THRESHOLD
+                    g.rect.cx > last.rect.cx
+                    and g.lex - last.rex >= -MAX_H_OVERLAP
+                    and min(last.ry1, g.ly1) - max(last.ry0, g.ly0) >= OVERLAP_THRESHOLD
                 ):
                     continue
-                if any(_rects_separated_by_line(last, r, s) for s in separators):
+                key = int(g.rect.cx)
+                if best_key is not None and key >= best_key:
                     continue
-                key = int(r.cx)
-                if best_key is None or key < best_key:
-                    best_i, best_key = i, key
+                if any(_rects_separated_by_line(last.rect, g.rect, s) for s in separators):
+                    continue
+                best_i, best_key = i, key
             if best_i is None:
                 break
-            line.append(sorted_rects.pop(best_i))
+            line.append(pool.pop(best_i))
         lines.append(line)
-    return lines
+    return [[g.rect for g in line] for line in lines]
 
 
 def _score_separator(r: Rect) -> float:
