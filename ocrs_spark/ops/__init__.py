@@ -18,18 +18,18 @@ def load_tables(spark, sf_dir: str, *names: str):
 
 
 def all_queries():
-    from . import dedup, multimodal, relational, similarity, textstats
+    from . import dedup, multimodal, relational, similarity, skew, textstats
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
-    from . import dedup, multimodal, relational, similarity, textstats
+    from . import dedup, multimodal, relational, similarity, skew, textstats
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew):
         out.update(mod.ORACLES)
     return out

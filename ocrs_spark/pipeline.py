@@ -250,6 +250,15 @@ def ocr_documents(
     return reweave(spans, results)
 
 
+def extraction_errors(ocr_results: DataFrame) -> DataFrame:
+    """Quarantine table of failed spans (decode/detect/ocr errors):
+    per-row failures become rows here instead of killing tasks, so one
+    corrupt image in a billion never fails a 100 TB job."""
+    return ocr_results.filter(F.col("error").isNotNull()).select(
+        "doc_id", "offset", "error"
+    )
+
+
 def extraction_metrics(ocr_results: DataFrame) -> DataFrame:
     """Per-run extraction metrics table (SURVEY.md §2.6)."""
     return ocr_results.agg(

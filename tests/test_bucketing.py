@@ -1,0 +1,68 @@
+"""Bucketed co-located join: pre-bucketing both sides of a recurring
+join key eliminates the shuffle entirely — the strategy for repeated
+fact-fact joins at 100 TB (bucket once at write time, join shuffle-free
+forever after)."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    # At this SF the tables are broadcast-size; disable broadcast so the
+    # planner must pick a shuffled join — which the bucketing then makes
+    # shuffle-free.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("lineitem_b")
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    tree = plan.split("\n\n(")[0]  # the operator tree, before op details
+    assert "SortMergeJoin" in tree
+    # The join inputs read pre-bucketed data: the only Exchange in the
+    # tree is the one above the join for the final aggregation.
+    n_exchanges = tree.count("Exchange")
+    assert n_exchanges <= 1, f"shuffles below bucketed join:\n{tree}"
+
+    # And the result is still correct.
+    expected = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    got = {(r["o_orderpriority"], r["n"]) for r in joined.collect()}
+    want = {(r["o_orderpriority"], r["count"]) for r in expected.collect()}
+    assert got == want
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
