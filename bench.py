@@ -295,6 +295,9 @@ def write_bench_md(sf_dir: str, timings: dict, ocr: dict) -> None:
     lines = [
         "# BENCH/BASELINE.md — measured numbers (auto-written by bench.py)",
         "",
+        "See BENCH/HISTORY.md for measurements across host-load states",
+        "(this file reflects only the load window of the latest run).",
+        "",
         f"Input: `{sf_dir}`; master local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}];",
         f"Arrow batch rows 64; shuffle partitions = cores; fake models (no ONNX runtime in sandbox).",
         "",
