@@ -103,8 +103,14 @@ def test_bad_media_ref_yields_error_not_crash(spark, frames):
         schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
     )
     spans = explode_spans(docs)
-    results = ocr_image_spans(spans, media, {"kind": "fake"}).collect()
+    results_df = ocr_image_spans(spans, media, {"kind": "fake"}).cache()
+    results = results_df.collect()
     assert len(results) == 1
     assert results[0]["error"] is not None and results[0]["ocr_text"] is None
+    from ocrs_spark.pipeline import extraction_errors
+
+    quarantined = extraction_errors(results_df).collect()
+    assert len(quarantined) == 1 and quarantined[0]["doc_id"] == "bad-1"
+    results_df.unpersist()
     woven = spans_as_tuples(ocr_documents(docs, media))
     assert woven["bad-1"][1] == ("text", "hello", None, 1)
