@@ -32,8 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocrs_spark.flagship import (
-        flagship_ocr,
         ocr_image_span_texts,
+        ocr_interleaved_pipeline,
         ocr_text_span_parity,
     )
     from ocrs_spark.ops import all_queries
@@ -41,19 +41,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(all_queries())
     out["ocr_image_span_texts"] = ocr_image_span_texts
     out["ocr_text_span_parity"] = ocr_text_span_parity
-    # Rows-only (full nested-array output; schema is the documents shape).
-    out["ocr_interleaved_pipeline"] = flagship_ocr
+    # Full end-to-end woven output, serialized per document so the
+    # driver can canonicalize it (nested array<struct> is unhashable
+    # in the driver's comparator) — oracle reconstructs the string.
+    out["ocr_interleaved_pipeline"] = ocr_interleaved_pipeline
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from ocrs_spark.flagship import ORACLE_OCR_IMAGE_SPANS, ORACLE_OCR_TEXT_SPANS
+    from ocrs_spark.flagship import (
+        ORACLE_OCR_IMAGE_SPANS,
+        ORACLE_OCR_INTERLEAVED,
+        ORACLE_OCR_TEXT_SPANS,
+    )
     from ocrs_spark.ops import all_oracles
 
     out = dict(all_oracles())
     out["ocr_image_span_texts"] = ORACLE_OCR_IMAGE_SPANS
     out["ocr_text_span_parity"] = ORACLE_OCR_TEXT_SPANS
-    # "ocr_interleaved_pipeline" intentionally has no oracle: nested
-    # array-of-struct output -> rows-only check; its values are asserted
-    # by the two span-level oracle queries above and by pytest.
+    out["ocr_interleaved_pipeline"] = ORACLE_OCR_INTERLEAVED
     return out

@@ -181,3 +181,60 @@ SELECT doc_id, 0 AS span_offset, substr(text, 1, 40) AS text FROM documents
 UNION ALL
 SELECT doc_id, 2, substr(text, 41, 40) FROM documents
 """
+
+
+# Span serialization for the driver-checkable flagship row: the woven
+# nested array<struct> is flattened to one deterministic string per
+# document (kind|text|media_ref|offset joined across spans in offset
+# order). Any separator works for parity — both engines construct the
+# string from the same fields — it only needs to be deterministic.
+_FIELD_SEP = "|"
+_SPAN_SEP = "~"
+_NULL = "∅"  # ∅ placeholder for NULL media_ref/text
+
+
+def ocr_interleaved_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end result, projected to (doc_id, woven): the
+    full woven span array serialized per document so the driver can
+    canonicalize and hash it (nested array<struct> is not hashable by
+    the driver's comparator). The DuckDB oracle reconstructs the exact
+    same string from the flat documents table + the golden fake-model
+    media texts, asserting span order, text pass-through and OCR values
+    in one row per document."""
+    woven = flagship_ocr(spark, sf_dir)
+    span_str = lambda s: F.concat_ws(
+        _FIELD_SEP,
+        s["kind"],
+        F.coalesce(s["text"], F.lit(_NULL)),
+        F.coalesce(s["media_ref"], F.lit(_NULL)),
+        s["offset"].cast("string"),
+    )
+    return woven.select(
+        "doc_id",
+        F.array_join(F.transform("spans", span_str), _SPAN_SEP).alias("woven"),
+    )
+
+
+ORACLE_OCR_INTERLEAVED = f"""
+WITH m(ref, expected_text) AS (VALUES {_MEDIA_VALUES}),
+base AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 5 = 4 THEN 'img-blank'
+              ELSE 'img-' || (doc_id % 5)::VARCHAR END AS ref1,
+         'img-' || ((doc_id + 1) % 4)::VARCHAR AS ref2
+  FROM documents
+)
+SELECT b.doc_id,
+       'text{_FIELD_SEP}' || substr(b.text, 1, 40) || '{_FIELD_SEP}{_NULL}{_FIELD_SEP}0'
+       || '{_SPAN_SEP}' ||
+       'image{_FIELD_SEP}' || m1.expected_text || '{_FIELD_SEP}' || b.ref1 || '{_FIELD_SEP}1'
+       || '{_SPAN_SEP}' ||
+       'text{_FIELD_SEP}' || substr(b.text, 41, 40) || '{_FIELD_SEP}{_NULL}{_FIELD_SEP}2'
+       || CASE WHEN b.doc_id % 3 = 0
+               THEN '{_SPAN_SEP}' || 'image{_FIELD_SEP}' || m2.expected_text
+                    || '{_FIELD_SEP}' || b.ref2 || '{_FIELD_SEP}3'
+               ELSE '' END AS woven
+FROM base b
+JOIN m m1 ON m1.ref = b.ref1
+JOIN m m2 ON m2.ref = b.ref2
+"""

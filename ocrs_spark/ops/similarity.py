@@ -77,19 +77,24 @@ def _plane_expr(dim: int, plane: int) -> str:
     )
 
 
-def ann_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH bucketing: each vector's bucket id is the
-    sign pattern of LSH_PLANES seeded hyperplane projections. Returns
-    bucket occupancy (the candidate-generation structure); exact rank
-    within buckets is what a full ANN query would compute."""
-    (emb,) = load_tables(spark, sf_dir, "embeddings")
-    dim = 64
+def lsh_bucket_col(dim: int = 64):
+    """The LSH_PLANES-bit random-hyperplane bucket id as a Column over
+    an ``embedding`` column (bit p set iff projection on plane p > 0)."""
     bucket = None
     for p in range(LSH_PLANES):
         bit = F.when(F.expr(_plane_expr(dim, p)) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucketing: each vector's bucket id is the
+    sign pattern of LSH_PLANES seeded hyperplane projections. Returns
+    bucket occupancy (the candidate-generation structure); ann_topk_lsh
+    runs the full query path over these buckets."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
     return (
-        emb.withColumn("bucket", bucket.cast("long"))
+        emb.withColumn("bucket", lsh_bucket_col())
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -102,14 +107,155 @@ def _duck_plane(plane: int) -> str:
     )
 
 
-ORACLE_ANN_LSH = (
-    "SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id FROM (SELECT vec_id, ("
+_DUCK_BUCKET = (
+    "("
     + " + ".join(
         f"(CASE WHEN ({_duck_plane(p)}) > 0 THEN {2 ** p} ELSE 0 END)"
         for p in range(LSH_PLANES)
     )
-    + ")::BIGINT AS bucket FROM embeddings) GROUP BY bucket"
+    + ")::BIGINT"
 )
+
+ORACLE_ANN_LSH = (
+    "SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id FROM "
+    f"(SELECT vec_id, {_DUCK_BUCKET} AS bucket FROM embeddings) GROUP BY bucket"
+)
+
+
+# Banded random-hyperplane LSH: B bands of R planes; two vectors are
+# candidates iff they share ANY band bucket. For a pair at angle theta
+# (p = 1 - theta/pi per plane), candidate recall = 1 - (1 - p^R)^B and
+# the random-pair candidate rate is ~ 1 - (1 - 2^-R)^B, so R sets
+# selectivity and B buys recall back. Two geometries are in use:
+# - ANN top-k (this module): B=8, R=2 — generous buckets; the synthetic
+#   embeddings are near-isotropic (true top-k neighbors sit at cos
+#   0.35-0.48, where p^R decays brutally in R), so recall is bought
+#   with coarse bands and measured by ann_recall (1.0 at these
+#   settings). A single AND-of-6-planes bucket recalls only ~4%.
+# - near-dup (ops.dedup): B=8, R=8 — 256 buckets/band, ~3% random
+#   candidate rate, recall >= 0.93 at cos 0.9 (a real near-dup bar).
+ANN_BANDS_B = 8
+ANN_BAND_ROWS = 2
+ANN_BAND_PLANE_BASE = 100  # seed namespace disjoint from ann planes 0..5
+EMB_DIM = 64
+
+
+def band_bucket_cols(n_bands: int, n_rows: int, plane_base: int, dim: int = EMB_DIM):
+    """One bucket Column per band (R sign bits packed into an int),
+    evaluated over an ``embedding`` column."""
+    cols = []
+    for band in range(n_bands):
+        bucket = None
+        for r in range(n_rows):
+            p = plane_base + band * n_rows + r
+            bit = F.when(F.expr(_plane_expr(dim, p)) > 0, F.lit(2 ** r)).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        cols.append(bucket.cast("long"))
+    return cols
+
+
+def banded_buckets(
+    emb,
+    n_bands: int = ANN_BANDS_B,
+    n_rows: int = ANN_BAND_ROWS,
+    plane_base: int = ANN_BAND_PLANE_BASE,
+):
+    """(vec_id, band, bucket): all band buckets computed in ONE scan +
+    projection, then unpivoted with posexplode (no per-band rescan)."""
+    return emb.select(
+        "vec_id", F.array(*band_bucket_cols(n_bands, n_rows, plane_base)).alias("bks")
+    ).select("vec_id", F.posexplode("bks").alias("band", "bucket"))
+
+
+def duck_band_bucket(band: int, n_rows: int, plane_base: int) -> str:
+    """The band-`band` bucket id in DuckDB SQL (same md5 planes)."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN ({_duck_plane(plane_base + band * n_rows + r)}) > 0"
+            f" THEN {2 ** r} ELSE 0 END)"
+            for r in range(n_rows)
+        )
+        + ")::BIGINT"
+    )
+
+
+def duck_banded_buckets(
+    n_bands: int = ANN_BANDS_B,
+    n_rows: int = ANN_BAND_ROWS,
+    plane_base: int = ANN_BAND_PLANE_BASE,
+) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band,"
+        f" {duck_band_bucket(band, n_rows, plane_base)} AS bucket FROM embeddings"
+        for band in range(n_bands)
+    )
+
+
+DUCK_BANDED_BUCKETS = duck_banded_buckets()
+
+
+def ann_topk_lsh(spark, sf_dir):
+    """ANN query path over banded LSH: each query ranks only vectors
+    sharing at least one of its band buckets (candidates-only — the
+    100-TB shape: hash-partitioned joins on the bucket key replace the
+    cross product; the query-side bands are tiny and broadcast). May
+    return fewer than TOP_K rows for an isolated query; recall vs brute
+    force is measured by ann_recall."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    bb = banded_buckets(emb)
+    cand = (
+        F.broadcast(
+            bb.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+                "vec_id", "query_id"
+            )
+        )
+        .join(bb.withColumnRenamed("vec_id", "neighbor_id"), ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .withColumn("cos", F.round(F.expr(f"({_DOT}) / (({_NQ}) * ({_NN}))"), 3))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+ORACLE_ANN_LSH_TOPK = f"""
+WITH bb AS ({DUCK_BANDED_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+   AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.embedding, n.embedding), z -> z[1]::DOUBLE * z[2]::DOUBLE))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+         3) AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = query_id
+  JOIN embeddings n ON n.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, rank, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
 
 
 IVF_CENTROIDS = 8  # deterministic "training": first K vectors are centroids
@@ -123,29 +269,50 @@ def _cos_expr(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def _lit_vec(vals) -> str:
+    """A collected centroid vector as a SQL double-array literal. repr()
+    of a Python float round-trips exactly, and float32 -> float64 is
+    exact, so the literal doubles equal what cast(x AS double) of the
+    column values produces — assignment math is bit-identical to the
+    oracle's."""
+    return "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in vals) + ")"
+
+
+def ivf_assignments(emb, centroids):
+    """Assign every vector its nearest-centroid id in ONE projection:
+    the K centroid vectors (the 'trained' IVF model — tiny, collected
+    like MLlib collects k-means centers each iteration) are inlined as
+    literals and the argmax is an array_max over struct(cos, -id), so
+    ties break to the smallest centroid id. No join, no Exchange, no
+    K-times row blowup — the assignment pass stays narrow at any scale.
+
+    ``centroids``: ordered [(centroid_id, vector), ...].
+    """
+    terms = ", ".join(
+        f"named_struct('cos', {_cos_expr('embedding', _lit_vec(cv))}, 'negid', {-cid})"
+        for cid, cv in centroids
+    )
+    assign = F.expr(f"-array_max(array({terms})).negid").cast("int")
+    return emb.select("vec_id", assign.alias("centroid_id"), "embedding")
+
+
 def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: assign every vector to its nearest of K fixed
     centroids (deterministically the first K vectors), then answer each
     query by scanning only its IVF_NPROBE nearest centroid lists. At
-    corpus scale the centroid assignment is a narrow broadcast pass and
-    the probe is a partition-pruned scan instead of a full cross join.
-    Output includes the probed-list rank (approximate by construction —
-    recall vs brute force is a quality metric, not a correctness bug)."""
+    corpus scale the centroid assignment is a narrow literal-expression
+    pass (see ivf_assignments) and the probe is a partition-pruned scan
+    instead of a full cross join. Output includes the probed-list rank
+    (approximate by construction — recall vs brute force is measured by
+    ann_recall, a quality metric, not a correctness bug)."""
     (emb,) = load_tables(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < IVF_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
-    # Assign each vector to its nearest centroid (broadcast K rows).
-    scored = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.expr(_cos_expr("embedding", "ce")))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("arank", F.row_number().over(w_assign))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "centroid_id", "embedding")
-    )
+    centroids = sorted(
+        (int(r.centroid_id), list(r.ce)) for r in cent.collect()
+    )  # K tiny rows — the IVF "model"
+    assigned = ivf_assignments(emb, centroids)
     # Queries probe their IVF_NPROBE nearest centroid lists.
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -214,14 +381,53 @@ WHERE rank <= {TOP_K}
 """
 
 
+def ann_recall(spark, sf_dir):
+    """Recall@TOP_K of each approximate method against the brute-force
+    ground truth — the tuning metric for nprobe / plane count at corpus
+    scale (you trade recall against the fraction of the index scanned).
+    One row per method: recall = |approx ∩ exact| / (queries * k)."""
+    brute = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    denom = float(N_QUERIES * TOP_K)
+    out = None
+    for method, fn in (("ivf", ann_ivf_topk), ("lsh", ann_topk_lsh)):
+        hits = brute.join(
+            fn(spark, sf_dir).select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        ).agg(F.count("*").alias("n_hits"))
+        row = hits.select(
+            F.lit(method).alias("method"),
+            F.round(F.col("n_hits") / F.lit(denom), 4).alias("recall_at_k"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _recall_oracle() -> str:
+    denom = N_QUERIES * TOP_K
+    parts = []
+    for method, sql in (("ivf", ORACLE_ANN_IVF), ("lsh", ORACLE_ANN_LSH_TOPK)):
+        parts.append(
+            f"SELECT '{method}' AS method, round(count(*) / {denom}.0, 4) AS recall_at_k\n"
+            f"FROM ( {ORACLE_ANN_BRUTE} ) b JOIN ( {sql} ) m USING (query_id, neighbor_id)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_ANN_RECALL = _recall_oracle()
+
+
 QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_topk_lsh": ann_topk_lsh,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_recall": ann_recall,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": ORACLE_ANN_BRUTE,
     "ann_lsh_buckets": ORACLE_ANN_LSH,
+    "ann_topk_lsh": ORACLE_ANN_LSH_TOPK,
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_recall": ORACLE_ANN_RECALL,
 }

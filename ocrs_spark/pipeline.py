@@ -141,10 +141,16 @@ def make_ocr_udf(engine_conf: dict):
 
 
 def explode_spans(documents: DataFrame) -> DataFrame:
-    """documents(doc_id, spans) -> one row per span."""
+    """documents(doc_id, spans) -> one row per span.
+
+    explode_outer, not explode: a document whose spans array is empty
+    (or null) still yields one all-null row, so it survives the
+    pipeline, reweaves to an empty spans array, and is committed to the
+    resume ledger — output doc set == input doc set. Plain explode
+    would silently drop such docs and re-scan them on every resume."""
     return documents.select(
         "doc_id",
-        F.explode("spans").alias("span"),
+        F.explode_outer("spans").alias("span"),
     ).select("doc_id", "span.kind", "span.text", "span.media_ref", "span.offset")
 
 
@@ -192,6 +198,13 @@ def ocr_image_spans(
             "n_lines",
             "error",
         )
+        # Fan the per-unique-image results back out to the referencing
+        # spans. The result rows are strictly smaller than the media
+        # rows (text + counts, no pixels), so whenever the media side
+        # was broadcastable the results are too — broadcast them and the
+        # big span table never shuffles for this join.
+        if broadcast_media:
+            per_media = F.broadcast(per_media)
         return work.join(per_media, "media_ref", "left").select(
             "doc_id", "offset", "ocr_text", "n_words", "n_lines", "error"
         )
@@ -211,13 +224,18 @@ def reweave(spans: DataFrame, ocr_results: DataFrame) -> DataFrame:
         "left",
     ).select(
         "doc_id",
-        F.struct(
-            F.col("offset").alias("offset"),  # sort key first
-            F.col("kind").alias("kind"),
-            F.when(F.col("kind") == "image", F.col("ocr_text"))
-            .otherwise(F.col("text"))
-            .alias("text"),
-            F.col("media_ref").alias("media_ref"),
+        # Span-less docs (explode_outer null rows) map to a null struct,
+        # which collect_list skips -> the doc reweaves to spans = [].
+        F.when(
+            F.col("kind").isNotNull(),
+            F.struct(
+                F.col("offset").alias("offset"),  # sort key first
+                F.col("kind").alias("kind"),
+                F.when(F.col("kind") == "image", F.col("ocr_text"))
+                .otherwise(F.col("text"))
+                .alias("text"),
+                F.col("media_ref").alias("media_ref"),
+            ),
         ).alias("span"),
     )
     return merged.groupBy("doc_id").agg(

@@ -49,6 +49,11 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # Defense in depth: all epoch math in queries is written to be
+        # tz-independent (timestampdiff over TIMESTAMP_NTZ), but pin UTC
+        # anyway so any residual zoned cast behaves like the DuckDB
+        # oracles, which treat naive timestamps as UTC.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -29,7 +29,11 @@ def stream_events_tumbling(
     stream = (
         spark.readStream.schema(schema)
         .parquet(events_path)
-        # Parquet gives timestamp_ntz; watermarks need a zoned timestamp.
+        # Watermarks require a zoned TIMESTAMP (EVENT_TIME_IS_NOT_ON_
+        # TIMESTAMP_TYPE on ntz), so the ntz wall time is cast here.
+        # get_spark pins spark.sql.session.timeZone=UTC, which makes the
+        # cast wall-time-preserving and the emitted epochs identical to
+        # the tz-independent batch query (ops.relational) and its oracle.
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -110,7 +114,12 @@ def stream_sessionize_events(
     stream = (
         spark.readStream.schema(schema)
         .parquet(events_dir)
-        .withColumn("ts_epoch", F.col("ts").cast("timestamp").cast("long"))
+        # tz-independent epoch (see ops.relational.ntz_epoch_seconds): a
+        # cast via TIMESTAMP would shift wall times by the session zone.
+        .withColumn(
+            "ts_epoch",
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+        )
         .select("user_id", "event_id", "ts_epoch", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -143,9 +152,15 @@ def stream_ocr_documents(
     """Incremental OCR over a growing parquet directory of documents.
 
     foreachBatch reuses the batch pipeline unchanged — each micro-batch
-    is exploded, skew-repartitioned, OCR'd and woven, then appended to
-    ``output_dir``; the streaming checkpoint gives exactly-once file
-    processing across restarts.
+    is exploded, skew-repartitioned, OCR'd and woven. foreachBatch is
+    inherently at-least-once (a crash between the sink write and the
+    streaming commit replays the batch), so the sink write is made
+    IDEMPOTENT: each batch overwrites its own deterministic
+    ``batch_id=<id>`` partition directory — a replayed batch rewrites
+    the same files instead of appending duplicates, which upgrades the
+    end-to-end guarantee to effectively-once. Read the result with
+    ``spark.read.parquet(output_dir)`` (batch_id surfaces as a
+    partition column).
     """
     engine_conf = engine_conf or {"kind": "fake"}
     schema = spark.read.parquet(documents_dir).schema
@@ -153,7 +168,7 @@ def stream_ocr_documents(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         woven = ocr_documents(batch_df, media, engine_conf=engine_conf)
-        woven.write.mode("append").parquet(output_dir)
+        woven.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -1,0 +1,101 @@
+"""ANN / near-dup QUALITY metrics (distinct from oracle parity, which
+test_oracles.py covers): the approximate methods must actually recall
+the exact answers on the test data, and the LSH candidate sets must be
+a small fraction of all-pairs — the two sides of the 100-TB tradeoff.
+"""
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    return con
+
+
+def test_ann_recall_at_k(spark):
+    from ocrs_spark.ops.similarity import ann_recall
+
+    rows = {r["method"]: r["recall_at_k"] for r in ann_recall(spark, SF_DIR).collect()}
+    # Banded LSH (8x2) measured 1.0, IVF (nprobe=2 of 8) measured 0.96
+    # on this data; gate with slack so legitimate re-seeds don't flake.
+    assert rows["lsh"] >= 0.9, rows
+    assert rows["ivf"] >= 0.8, rows
+
+
+def _planted_corpus(spark, n_base=200, n_dups=20, dim=64, seed=7):
+    """n_base random unit vectors + n_dups near-duplicates (tiny noise
+    added to the first n_dups bases -> pair cosine > 0.97). Returns the
+    DataFrame and the planted (base_id, dup_id) pair set."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:n_dups] + 0.1 * rng.normal(size=(n_dups, dim)) / np.sqrt(dim)
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in v]} for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    planted = {(i, n_base + i) for i in range(n_dups)}
+    return df, planted
+
+
+def test_embedding_near_dup_finds_planted_duplicates(spark):
+    """The synthetic embeddings tables contain no true near-dups (max
+    pair cosine ~0.6), so functionality is proven on planted ones: the
+    LSH-blocked operator must recover every planted pair while its
+    candidate self-join examines a small fraction of all pairs."""
+    from pyspark.sql import functions as F
+
+    from ocrs_spark.ops.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_ROWS,
+        EMB_PLANE_BASE,
+        embedding_near_dup_pairs,
+    )
+    from ocrs_spark.ops.similarity import banded_buckets
+
+    emb, planted = _planted_corpus(spark)
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    missed = planted - found
+    assert not missed, f"missed planted near-dups: {missed}"
+    # Everything found must verify >= threshold (no false positives by
+    # construction of the verification step).
+
+    # Candidate-generation bound: the banded self-join must examine a
+    # small fraction of all-pairs (the point of blocking; ~3% expected
+    # for random pairs with 8 bands of 8 planes).
+    n = emb.count()
+    bb = banded_buckets(emb, EMB_LSH_BANDS, EMB_LSH_ROWS, EMB_PLANE_BASE)
+    cand = (
+        bb.alias("a")
+        .join(bb.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id"), F.col("b.vec_id"))
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    print(f"candidates {cand} of all-pairs {all_pairs} ({cand / all_pairs:.1%})")
+    assert cand < all_pairs * 0.15
+
+
+def test_embedding_near_dup_empty_on_synthetic_tables(spark, duck):
+    """On the driver tables the pair set is legitimately empty at the
+    0.9 bar — and the DuckDB oracle agrees (exactness of the empty
+    result, not vacuity of the operator: see the planted test above)."""
+    from ocrs_spark.ops.dedup import ORACLE_EMB_COSINE, embedding_cosine_pairs
+
+    assert embedding_cosine_pairs(spark, SF_DIR).count() == 0
+    assert len(duck.sql(ORACLE_EMB_COSINE).fetchall()) == 0

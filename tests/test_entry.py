@@ -14,8 +14,8 @@ def test_entry_contract_shapes():
     o = entry_mod.oracle_sql()
     assert len(q) >= 25
     assert set(o) - set(q) == set()
-    # Every oracle-less query is an intentional rows-only op.
-    assert set(q) - set(o) == {"ocr_interleaved_pipeline"}
+    # Every query has a DuckDB oracle — no rows-only entries left.
+    assert set(q) - set(o) == set()
 
 
 def test_entry_runs_and_returns_rows(spark):
@@ -25,7 +25,10 @@ def test_entry_runs_and_returns_rows(spark):
     assert len(rows) > 0
 
 
-@pytest.mark.parametrize("name", ["ocr_image_span_texts", "ocr_text_span_parity"])
+@pytest.mark.parametrize(
+    "name",
+    ["ocr_image_span_texts", "ocr_text_span_parity", "ocr_interleaved_pipeline"],
+)
 def test_flagship_ocr_oracles(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
     got = sorted(tuple(r) for r in df.collect())

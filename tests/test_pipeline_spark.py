@@ -88,6 +88,31 @@ def test_metrics(frames):
     results.unpersist()
 
 
+def test_empty_span_docs_survive_pipeline(spark, frames):
+    """Documents with an empty (or null) spans array must appear in the
+    woven output with spans == [] — explode_outer keeps them alive, so
+    output doc set == input doc set and the resume ledger commits them
+    (plain explode would re-scan them forever)."""
+    _, media, _ = frames
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": "empty-1", "spans": []},
+            {"doc_id": "null-1", "spans": None},
+            {
+                "doc_id": "normal-1",
+                "spans": [
+                    {"kind": "text", "text": "hi", "media_ref": None, "offset": 0}
+                ],
+            },
+        ],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    woven = spans_as_tuples(ocr_documents(docs, media))
+    assert set(woven) == {"empty-1", "null-1", "normal-1"}
+    assert woven["empty-1"] == [] and woven["null-1"] == []
+    assert woven["normal-1"] == [("text", "hi", None, 0)]
+
+
 def test_bad_media_ref_yields_error_not_crash(spark, frames):
     _, media, _ = frames
     docs = spark.createDataFrame(

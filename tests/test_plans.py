@@ -9,6 +9,7 @@ import pytest
 
 from ocrs_spark.ops.relational import (
     q1_pricing_summary,
+    q3_shipping_priority,
     q5_local_supplier_volume,
     q6_forecast_revenue,
 )
@@ -39,9 +40,48 @@ def test_q1_partial_aggregation(spark):
     assert "partial_sum" in plan  # map-side combine proven, not assumed
 
 
+def test_q3_topk_is_take_ordered_not_global_window(spark):
+    """The deterministic top-10 must compile to TakeOrderedAndProject
+    (per-partition top-k merged on the driver), never an unpartitioned
+    row_number window that funnels all rows through one reducer."""
+    plan = plan_of(q3_shipping_priority(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_q5_broadcasts_small_dims(spark):
     plan = plan_of(q5_local_supplier_volume(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assignment_is_single_narrow_projection(spark):
+    """Nearest-centroid assignment must be one literal-expression
+    projection over the scan — no Exchange, no Window, no join, no
+    K-times row blowup (the round-1 crossJoin+row_number shape)."""
+    from ocrs_spark.ops.similarity import IVF_CENTROIDS, ivf_assignments
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = sorted(
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(f"vec_id < {IVF_CENTROIDS}").collect()
+    )
+    plan = plan_of(ivf_assignments(emb, cents))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_ocr_results_fan_out_via_broadcast(spark):
+    """The per-unique-image OCR results must broadcast back to the
+    referencing spans — the big span table never shuffles for the
+    fan-out join."""
+    from ocrs_spark.fixtures import corpus_to_spark, generate_corpus
+    from ocrs_spark.pipeline import ocr_image_spans
+
+    docs, media, _ = corpus_to_spark(spark, generate_corpus(n_docs=6))
+    plan = plan_of(ocr_image_spans(explode_spans(docs), media, {"kind": "fake"}))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_explode_prunes_media_bytes(spark):

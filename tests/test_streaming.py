@@ -90,3 +90,22 @@ def test_stream_ocr_incremental_exactly_once(spark, tmp_path):
         for r in expected.collect()
     }
     assert woven == want
+
+
+def test_stream_ocr_replay_is_idempotent(spark, tmp_path):
+    """A lost streaming checkpoint replays every batch; the per-batch_id
+    overwrite sink must absorb the replay without duplicating rows
+    (foreachBatch alone is only at-least-once)."""
+    corpus = generate_corpus(n_docs=4, seed=5)
+    docs, media, _ = corpus_to_spark(spark, corpus)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    docs.write.parquet(in_dir)
+
+    stream_ocr_documents(spark, in_dir, media, str(tmp_path / "ck1"), out_dir)
+    # Fresh checkpoint -> the same input replays as the same batch ids.
+    stream_ocr_documents(spark, in_dir, media, str(tmp_path / "ck2"), out_dir)
+
+    result = spark.read.parquet(out_dir)
+    assert result.count() == docs.count()
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
