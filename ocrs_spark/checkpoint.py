@@ -15,6 +15,16 @@ split so swapping in real Iceberg is a sink change, not a redesign):
 Resume = LEFT ANTI JOIN of incoming documents against the committed
 ledger, so a killed run restarts from the last committed snapshot and
 never re-processes or duplicates a document.
+
+The checkpoint root may be any Hadoop-supported URI (``hdfs://``,
+``s3a://``, ``file://``, ...): the parquet data/ledger writes always go
+through Spark, and the manifest/metrics I/O is routed through the
+Hadoop FileSystem API whenever the root carries a scheme, so a cluster
+of drivers sees one shared manifest (a bare local path keeps plain
+POSIX I/O). Commit visibility relies on rename(manifest.tmp, manifest):
+atomic on POSIX/HDFS/ABFS; on S3A rename is copy+delete, so with
+concurrent committers prefer an HDFS/ABFS root (or an Iceberg catalog)
+for strict serialization — single-writer S3 pipelines are still safe.
 """
 
 from __future__ import annotations
@@ -36,41 +46,125 @@ from .pipeline import (
 MANIFEST = "manifest.json"
 
 
+class _PosixIO:
+    """Manifest/metrics I/O for bare local paths."""
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as f:
+            f.write(text)
+
+    def replace(self, src: str, dst: str) -> None:
+        os.replace(src, dst)  # atomic on POSIX
+
+
+class _HadoopIO:
+    """Manifest/metrics I/O through the JVM Hadoop FileSystem, so
+    scheme-qualified roots (hdfs://, s3a://, file://, ...) resolve to
+    the shared filesystem every driver sees — not a mangled local path
+    on whichever machine happens to run the driver."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jvm.org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._p(path))
+        try:
+            out = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, False)
+            return bytes(out.toByteArray()).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        stream = self._fs.create(self._p(path), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+
+    def replace(self, src: str, dst: str) -> None:
+        self._fs.delete(self._p(dst), False)
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise IOError(f"rename {src} -> {dst} failed")
+
+
+def _has_scheme(root: str) -> bool:
+    return "://" in root or root.startswith("file:/")
+
+
 class DocumentCheckpoint:
-    def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+    def __init__(self, root: str, spark: SparkSession | None = None):
+        self.root = root.rstrip("/")
+        self._spark = spark
+        self._io = None
+        if not _has_scheme(self.root):
+            self._io = _PosixIO()
+            self._io.mkdirs(self.root)
+
+    def _fs(self, spark: SparkSession | None = None):
+        if self._io is None:
+            s = spark or self._spark or SparkSession.getActiveSession()
+            if s is None:
+                raise ValueError(
+                    f"checkpoint root {self.root!r} needs a SparkSession for "
+                    "Hadoop FileSystem access; pass spark= to DocumentCheckpoint"
+                )
+            self._io = _HadoopIO(s, self.root)
+            self._io.mkdirs(self.root)
+        return self._io
+
+    def _join(self, *parts: str) -> str:
+        return "/".join((self.root, *parts))
 
     # ------------------------------------------------------------- state
 
     def _manifest_path(self) -> str:
-        return os.path.join(self.root, MANIFEST)
+        return self._join(MANIFEST)
 
-    def snapshots(self) -> list[dict]:
+    def snapshots(self, spark: SparkSession | None = None) -> list[dict]:
+        fs = self._fs(spark)
         path = self._manifest_path()
-        if not os.path.exists(path):
+        if not fs.exists(path):
             return []
-        with open(path) as f:
-            return json.load(f)["snapshots"]
+        return json.loads(fs.read_text(path))["snapshots"]
 
     def _write_manifest(self, snapshots: list[dict]) -> None:
+        fs = self._fs()
         tmp = self._manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"snapshots": snapshots}, f, indent=2)
-        os.replace(tmp, self._manifest_path())  # atomic visibility flip
+        fs.write_text(tmp, json.dumps({"snapshots": snapshots}, indent=2))
+        fs.replace(tmp, self._manifest_path())  # visibility flip
 
     # ------------------------------------------------------------ reads
 
     def committed_doc_ids(self, spark: SparkSession) -> DataFrame:
-        paths = [
-            os.path.join(self.root, "ledger", s["run_id"]) for s in self.snapshots()
-        ]
+        paths = [self._join("ledger", s["run_id"]) for s in self.snapshots(spark)]
         if not paths:
             return spark.createDataFrame([], schema="doc_id string")
         return spark.read.parquet(*paths).select("doc_id").distinct()
 
     def read_result(self, spark: SparkSession) -> DataFrame:
-        paths = [os.path.join(self.root, "data", s["run_id"]) for s in self.snapshots()]
+        paths = [self._join("data", s["run_id"]) for s in self.snapshots(spark)]
         if not paths:
             raise ValueError("no committed snapshots")
         return spark.read.parquet(*paths)
@@ -89,18 +183,19 @@ class DocumentCheckpoint:
         snapshot only becomes visible when the manifest rename succeeds,
         so a kill mid-commit leaves the table at the previous snapshot.
         """
+        spark = result.sparkSession
+        fs = self._fs(spark)
         run_id = uuid.uuid4().hex[:12]
-        data_path = os.path.join(self.root, "data", run_id)
-        ledger_path = os.path.join(self.root, "ledger", run_id)
+        data_path = self._join("data", run_id)
+        ledger_path = self._join("ledger", run_id)
         result.write.parquet(data_path)
-        result.sparkSession.read.parquet(data_path).select("doc_id").distinct().write.parquet(
+        spark.read.parquet(data_path).select("doc_id").distinct().write.parquet(
             ledger_path
         )
         if metrics is not None:
-            os.makedirs(os.path.join(self.root, "metrics"), exist_ok=True)
-            with open(os.path.join(self.root, "metrics", f"{run_id}.json"), "w") as f:
-                json.dump(metrics, f)
-        snapshots = self.snapshots()
+            fs.mkdirs(self._join("metrics"))
+            fs.write_text(self._join("metrics", f"{run_id}.json"), json.dumps(metrics))
+        snapshots = self.snapshots(spark)
         snapshot = {
             "snapshot_id": len(snapshots) + 1,
             "run_id": run_id,

@@ -5,9 +5,9 @@ Run on a cluster:
 
     zip -r ocrs_spark.zip ocrs_spark/
     spark-submit --py-files ocrs_spark.zip scripts/run_pipeline.py \
-        --documents s3://bucket/documents/ \
-        --media s3://bucket/media/ \
-        --checkpoint s3://bucket/ocr_checkpoint/ \
+        --documents s3a://bucket/documents/ \
+        --media s3a://bucket/media/ \
+        --checkpoint hdfs://nn/ocr_checkpoint/ \
         --detect-model /models/text-detection.rten.onnx \
         --rec-model /models/text-recognition.rten.onnx
 
@@ -20,6 +20,12 @@ The run is resumable: each invocation prunes already-committed documents
 (anti-join against the checkpoint ledger), OCRs and reweaves the rest,
 and commits a new snapshot atomically. Re-running after a kill resumes
 from the last committed snapshot with no duplicate work.
+
+The checkpoint root accepts any Hadoop filesystem URI (hdfs://, s3a://,
+file://, or a bare local path): manifest I/O goes through the Hadoop
+FileSystem API so every driver sees the same snapshots. Prefer HDFS or
+ABFS when several writers may commit concurrently — the visibility flip
+is a rename, which is atomic there but copy+delete on S3A.
 """
 
 from __future__ import annotations

@@ -51,6 +51,29 @@ def test_partial_commit_then_resume(spark, frames, tmp_path_factory):
     assert len(ckpt.snapshots()) == 2
 
 
+def test_scheme_root_routes_through_hadoop_fs(spark, frames, tmp_path_factory):
+    """A scheme-qualified checkpoint root (here file://, standing in for
+    hdfs://s3a://) must route manifest/metrics I/O through the Hadoop
+    FileSystem API and behave identically to a local root — on a real
+    cluster this is what makes snapshots visible across drivers."""
+    docs, media, expected = frames
+    local = tmp_path_factory.mktemp("ckpt_fs")
+    ckpt = DocumentCheckpoint(f"file://{local}/table", spark=spark)
+
+    first_half = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    snap1 = run_checkpointed(first_half, media, ckpt)
+    assert snap1 is not None and snap1["snapshot_id"] == 1
+    snap2 = run_checkpointed(docs, media, ckpt)
+    assert snap2 is not None and snap2["snapshot_id"] == 2
+    assert run_checkpointed(docs, media, ckpt) is None
+
+    result = ckpt.read_result(spark)
+    assert result.count() == docs.count()
+    assert spans_as_tuples(result) == spans_as_tuples(expected)
+    # The manifest physically exists where the URI points.
+    assert (local / "table" / "manifest.json").exists()
+
+
 def test_commit_visibility_is_atomic(spark, frames, tmp_path_factory):
     docs, media, _ = frames
     ckpt = DocumentCheckpoint(str(tmp_path_factory.mktemp("ckpt2")))
