@@ -208,4 +208,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_rlei(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
-    raise UnsupportedImageError("unsupported image format (RAWI, RLEI and PNG supported)")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise UnsupportedImageError(
+        "unsupported image format (RAWI, RLEI, PNG and baseline JPEG supported)"
+    )
