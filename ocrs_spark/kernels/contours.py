@@ -25,6 +25,10 @@ from ..geometry import Rect, RotatedRect
 # Moore neighborhood in clockwise order starting from W (dx, dy).
 _MOORE = [(-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1)]
 
+# Single-slot scratch for _component_runs (reused across same-shaped
+# masks; Spark Python workers are single-threaded processes).
+_RUN_SCRATCH = None
+
 
 def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
     """8-connected component labeling of a boolean mask.
@@ -47,7 +51,26 @@ def _component_runs(mask: np.ndarray):
     mask = np.asarray(mask, dtype=bool)
     h, w = mask.shape
 
-    parent: list[int] = [0]  # union-find over run ids; parent[0] unused
+    # All run boundaries in ONE 2D diff (row-major nonzero order pairs
+    # starts with ends per row), instead of h per-row numpy calls. The
+    # scratch buffers are reused across calls (single-slot, per-process)
+    # — this host faults fresh pages at ~20 MB/s, and allocating ~1 MB
+    # of temporaries per image measurably throttles concurrent workers
+    # (see malloc_tuning.py).
+    global _RUN_SCRATCH
+    key = (h, w)
+    if _RUN_SCRATCH is None or _RUN_SCRATCH[0] != key:
+        padded = np.zeros((h, w + 2), dtype=np.int8)
+        diff = np.empty((h, w + 1), dtype=np.int8)
+        _RUN_SCRATCH = (key, padded, diff)
+    _, padded, diff = _RUN_SCRATCH
+    padded[:, 1:-1] = mask
+    np.subtract(padded[:, 1:], padded[:, :-1], out=diff)
+    sy, sx = np.nonzero(diff == 1)
+    _, ex = np.nonzero(diff == -1)
+    n = len(sy)
+
+    parent = list(range(n + 1))  # union-find over run ids 1..n
 
     def find(a: int) -> int:
         while parent[a] != a:
@@ -63,45 +86,34 @@ def _component_runs(mask: np.ndarray):
             else:
                 parent[ra] = rb
 
-    # Runs per row: (start, end) half-open column ranges.
-    run_rows: list[list[tuple[int, int, int]]] = []  # (start, end, run_id)
-    next_id = 1
-    prev_runs: list[tuple[int, int, int]] = []
-    padded = np.zeros(w + 2, dtype=np.int8)
-    for y in range(h):
-        padded[1:-1] = mask[y]
-        d = np.diff(padded)
-        starts = np.nonzero(d == 1)[0]
-        ends = np.nonzero(d == -1)[0]
-        runs = []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            rid = next_id
-            next_id += 1
-            parent.append(rid)
-            # 8-connectivity: overlap with previous row extended by 1 col.
-            for ps, pe, pid in prev_runs:
-                if ps < e + 1 and pe > s - 1:
-                    union(rid, pid)
-            runs.append((s, e, rid))
-        run_rows.append(runs)
-        prev_runs = runs
+    runs = list(zip(sy.tolist(), sx.tolist(), ex.tolist()))
+    prev: list[tuple[int, int, int]] = []  # (start, end, run_id) of row-1
+    cur: list[tuple[int, int, int]] = []
+    cur_row = -1
+    for i, (y, s, e) in enumerate(runs):
+        rid = i + 1
+        if y != cur_row:
+            prev = cur if y == cur_row + 1 else []
+            cur = []
+            cur_row = y
+        # 8-connectivity: overlap with previous row extended by 1 col.
+        for ps, pe, pid in prev:
+            if ps < e + 1 and pe > s - 1:
+                union(rid, pid)
+        cur.append((s, e, rid))
 
     # Resolve roots to dense component labels in raster order.
     root_to_label: dict[int, int] = {}
     runs_by_label: list[list[tuple[int, int, int]]] = []
-    for y, runs in enumerate(run_rows):
-        for s, e, rid in runs:
-            r = find(rid)
-            lbl = root_to_label.get(r)
-            if lbl is None:
-                lbl = len(runs_by_label)
-                root_to_label[r] = lbl
-                runs_by_label.append([])
-            runs_by_label[lbl].append((y, s, e))
+    for i, (y, s, e) in enumerate(runs):
+        r = find(i + 1)
+        lbl = root_to_label.get(r)
+        if lbl is None:
+            lbl = len(runs_by_label)
+            root_to_label[r] = lbl
+            runs_by_label.append([])
+        runs_by_label[lbl].append((y, s, e))
     return runs_by_label, h, w
-
-
-_DIR_INDEX = {v: i for i, v in enumerate(_MOORE)}
 
 
 def _trace_on_grid(grid: list[list[bool]], sx: int, sy: int, max_steps: int) -> list[tuple[int, int]]:
@@ -110,16 +122,20 @@ def _trace_on_grid(grid: list[list[bool]], sx: int, sy: int, max_steps: int) -> 
     bounds checks unnecessary). ``(sx, sy)`` is the topmost-leftmost
     foreground pixel. Returns border pixels (x, y) in traversal order."""
     moore = _MOORE
-    dir_index = _DIR_INDEX
+    # Flat (dy+1)*3 + (dx+1) -> ring index table (faster than a dict of
+    # tuples in the per-step loop).
+    delta_dir = [0] * 9
+    for i, (dx, dy) in enumerate(moore):
+        delta_dir[(dy + 1) * 3 + (dx + 1)] = i
     contour = [(sx, sy)]
     cx, cy = sx, sy
     bx, by = sx - 1, sy  # entered the start pixel from the West
     first_move = None
     for _ in range(max_steps):
-        bdir = dir_index[(bx - cx, by - cy)]
+        bdir = delta_dir[(by - cy + 1) * 3 + (bx - cx + 1)]
         nxt = None
         for k in range(1, 9):
-            dx, dy = moore[(bdir + k) % 8]
+            dx, dy = moore[(bdir + k) & 7]
             nx, ny = cx + dx, cy + dy
             if grid[ny][nx]:
                 nxt = (nx, ny)
@@ -247,31 +263,33 @@ def min_area_rect(points) -> RotatedRect | None:
         rr = RotatedRect((x0 + x1) / 2, (y0 + y1) / 2, ux, uy, length, 0.0)
         return rr.orient_towards(0.0, -1.0)
 
-    best = None
-    m = len(hull)
-    for i in range(m):
-        x0, y0 = hull[i]
-        x1, y1 = hull[(i + 1) % m]
-        ex, ey = x1 - x0, y1 - y0
-        elen = math.hypot(ex, ey)
-        if elen == 0:
-            continue
-        ex, ey = ex / elen, ey / elen
-        px, py = -ey, ex  # perpendicular
-        proj_e = hull[:, 0] * ex + hull[:, 1] * ey
-        proj_p = hull[:, 0] * px + hull[:, 1] * py
-        w = proj_e.max() - proj_e.min()
-        h = proj_p.max() - proj_p.min()
-        area = w * h
-        if best is None or area < best[0]:
-            ce = (proj_e.max() + proj_e.min()) / 2
-            cp = (proj_p.max() + proj_p.min()) / 2
-            cx = ce * ex + cp * px
-            cy = ce * ey + cp * py
-            # Width along the edge direction; height along perpendicular.
-            # Up axis = the axis along "height", pointing up-ish.
-            best = (area, RotatedRect(cx, cy, px, py, w, h))
-    rr = best[1]
+    # All caliper edges evaluated at once: project every hull point on
+    # every edge direction (hulls are tiny, the m x m matrices are
+    # cheap) and take the first minimal-area edge — float math and
+    # tie-breaking identical to the per-edge loop this replaces.
+    nxt = np.roll(hull, -1, axis=0)
+    evec = nxt - hull
+    elen = np.hypot(evec[:, 0], evec[:, 1])
+    valid = elen > 0
+    e = evec[valid] / elen[valid, None]  # unit edge dirs (k, 2)
+    p = np.stack([-e[:, 1], e[:, 0]], axis=1)  # perpendiculars
+    # Explicit mul+add (not matmul): BLAS dot may fuse FMA and round
+    # differently; this keeps results bit-identical to the scalar loop.
+    x, y = hull[:, 0][:, None], hull[:, 1][:, None]
+    proj_e = x * e[:, 0][None, :] + y * e[:, 1][None, :]  # (m points, k edges)
+    proj_p = x * p[:, 0][None, :] + y * p[:, 1][None, :]
+    emax, emin = proj_e.max(axis=0), proj_e.min(axis=0)
+    pmax, pmin = proj_p.max(axis=0), proj_p.min(axis=0)
+    ws = emax - emin
+    hs = pmax - pmin
+    i = int(np.argmin(ws * hs))  # first minimum, like the strict < loop
+    ce = (emax[i] + emin[i]) / 2
+    cp = (pmax[i] + pmin[i]) / 2
+    ex, ey = e[i]
+    px, py = p[i]
+    # Width along the edge direction; height along perpendicular.
+    # Up axis = the axis along "height", pointing up-ish.
+    rr = RotatedRect(ce * ex + cp * px, ce * ey + cp * py, px, py, ws[i], hs[i])
     # Normalize: make the up axis the one closest to vertical, and point
     # it towards (0, -1) (mirrors orient_towards usage,
     # text_items.rs:26-29).
@@ -299,16 +317,24 @@ def fill_polygon_mask(points: list[tuple[int, int]], bounds: Rect) -> np.ndarray
         if y0 == y1:
             continue
         edges.append((float(x0), float(y0), float(x1), float(y1)))
+    if not edges:
+        return mask
+    # All row-edge intersections in one vectorized pass; the per-row
+    # span writing below sees the same sorted xs the scalar loop built.
+    e = np.asarray(edges, dtype=np.float64)  # (k, 4): x0 y0 x1 y1
+    yy = (top + np.arange(h, dtype=np.float64))[:, None]  # (h, 1)
+    ylo = np.minimum(e[:, 1], e[:, 3])[None, :]
+    yhi = np.maximum(e[:, 1], e[:, 3])[None, :]
+    active = (ylo <= yy) & (yy < yhi)  # half-open edge span
+    t = (yy - e[:, 1][None, :]) / (e[:, 3] - e[:, 1])[None, :]
+    xs_all = e[:, 0][None, :] + t * (e[:, 2] - e[:, 0])[None, :]
+    xs_all = np.where(active, xs_all, np.inf)
+    xs_sorted = np.sort(xs_all, axis=1)
+    counts = active.sum(axis=1)
     for row in range(h):
-        y = row + top
-        xs = []
-        for x0, y0, x1, y1 in edges:
-            ylo, yhi = (y0, y1) if y0 < y1 else (y1, y0)
-            if ylo <= y < yhi:  # half-open edge span
-                t = (y - y0) / (y1 - y0)
-                xs.append(x0 + t * (x1 - x0))
-        xs.sort()
-        for j in range(0, len(xs) - 1, 2):
+        c = int(counts[row])
+        xs = xs_sorted[row]
+        for j in range(0, c - 1, 2):
             a = int(math.ceil(xs[j]))
             b = int(math.ceil(xs[j + 1]))  # half-open [a, b)
             a = max(a, left)

@@ -214,6 +214,118 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS rewritten as a LEFT SEMI join (the orders
+    side never duplicates however many lineitems match)."""
+    orders, li = load_tables(spark, sf_dir, "orders", "lineitem")
+    late = li.filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01"))
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1998-01-01')
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation (orders
+    per customer, then customers per order-count; zero-order customers
+    kept by the outer join)."""
+    cust, orders = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a (broadcast) part
+    join — promo revenue share of one ship month."""
+    li, part = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(
+         100 * sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: per-group average joined back against the fact
+    table (agg-then-join; the per-part averages are small and
+    broadcast). l_quantity is integral in the test data and doubles sum
+    small integers exactly, so the 0.2*avg threshold is bit-identical
+    across engines."""
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    small = li.join(
+        F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey")
+    ).filter(F.col("l_quantity") < F.col("qty_thresh"))
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN (SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey) t
+  ON l.l_partkey = t.t_partkey
+WHERE l.l_quantity < t.qty_thresh
+"""
+
+
 # -------------------------------------------------- orchestration analogues
 
 def window_topk_orders_per_customer(spark, sf_dir):
@@ -424,6 +536,10 @@ QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q18_large_volume_customer": q18_large_volume_customer,
+    "q4_order_priority": q4_order_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "antijoin_customers_without_orders": antijoin_customers_without_orders,
     "events_metrics_agg": events_metrics_agg,
@@ -439,6 +555,10 @@ ORACLES = {
     "q5_local_supplier_volume": ORACLE_Q5,
     "q6_forecast_revenue": ORACLE_Q6,
     "q18_large_volume_customer": ORACLE_Q18,
+    "q4_order_priority": ORACLE_Q4,
+    "q13_customer_distribution": ORACLE_Q13,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q17_small_quantity_revenue": ORACLE_Q17,
     "window_topk_orders_per_customer": ORACLE_WINDOW_TOPK,
     "antijoin_customers_without_orders": ORACLE_ANTIJOIN,
     "events_metrics_agg": ORACLE_EVENTS_METRICS,

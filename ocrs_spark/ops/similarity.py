@@ -65,14 +65,28 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _plane_signs(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component weights:
+    sign_i = +1 if bit0 of md5(f"{plane}:{i}")'s first hex byte is set,
+    else -1. Computed ONCE at plan-build time with hashlib (identical
+    to what Spark's md5()/DuckDB's md5() of the same string yields) and
+    inlined as literals — evaluating md5 per row per element inside the
+    lambda made a 64-plane bucketing ~50x slower than the arithmetic."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:2], 16) % 2 == 1 else -1.0
+        for i in range(dim)
+    ]
+
+
 def _plane_expr(dim: int, plane: int) -> str:
-    """Deterministic pseudo-random hyperplane component weights: for
-    element i of the embedding, weight = +1 if a seeded md5 bit is set
-    else -1. Same closed form on both engines."""
-    # sign_i = bit0 of md5(f"{plane}:{i}") parsed as hex.
+    """Projection of the ``embedding`` column on seeded plane
+    ``plane``, as a Spark SQL expression over literal sign weights."""
+    signs = ", ".join(f"{s:.1f}" for s in _plane_signs(dim, plane))
     return (
-        f"aggregate(zip_with(embedding, sequence(0, {dim - 1}),"
-        f" (x, i) -> cast(x AS double) * (CASE WHEN (conv(substring(md5(concat('{plane}:', i)), 1, 2), 16, 10) % 2) = 1 THEN 1.0 ELSE -1.0 END)),"
+        f"aggregate(zip_with(embedding, array({signs}),"
+        " (x, s) -> cast(x AS double) * s),"
         " cast(0 AS double), (acc, v) -> acc + v)"
     )
 
@@ -100,10 +114,14 @@ def ann_lsh_buckets(spark, sf_dir):
     )
 
 
-def _duck_plane(plane: int) -> str:
+def _duck_plane(plane: int, dim: int = 64) -> str:
+    """Same projection in DuckDB SQL, from the same inlined literals
+    (hashlib md5 == Spark md5 == DuckDB md5 of the same string, so the
+    sign vectors are identical by construction)."""
+    signs = ", ".join(f"{s:.1f}" for s in _plane_signs(dim, plane))
     return (
-        "list_sum(list_transform(list_zip(embedding, range(0, 64)),"
-        f" z -> z[1]::DOUBLE * (CASE WHEN (('0x' || substr(md5('{plane}:' || z[2]::VARCHAR), 1, 2))::BIGINT % 2) = 1 THEN 1.0 ELSE -1.0 END)))"
+        f"list_sum(list_transform(list_zip(embedding, [{signs}]),"
+        " z -> z[1]::DOUBLE * z[2]))"
     )
 
 
