@@ -326,6 +326,98 @@ WHERE l.l_quantity < t.qty_thresh
 """
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension (nation) joined twice under
+    different roles (supplier side vs customer side), a symmetric
+    either-direction pair filter, and a year rollup. year() over
+    timestamp_ntz is pure wall-clock — tz-independent on both engines."""
+    nation, cust, orders, li, supp = load_tables(
+        spark, sf_dir, "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue, count(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive (brand, size,
+    quantity) clauses across a join — Catalyst pushes the common
+    l_quantity/p_size bounds to the scans and evaluates the disjunction
+    post-join."""
+    li, part = load_tables(spark, sf_dir, "lineitem", "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(clause).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+ORACLE_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # -------------------------------------------------- orchestration analogues
 
 def window_topk_orders_per_customer(spark, sf_dir):
@@ -540,6 +632,8 @@ QUERIES = {
     "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "antijoin_customers_without_orders": antijoin_customers_without_orders,
     "events_metrics_agg": events_metrics_agg,
@@ -559,6 +653,8 @@ ORACLES = {
     "q13_customer_distribution": ORACLE_Q13,
     "q14_promo_revenue": ORACLE_Q14,
     "q17_small_quantity_revenue": ORACLE_Q17,
+    "q7_volume_shipping": ORACLE_Q7,
+    "q19_discounted_revenue": ORACLE_Q19,
     "window_topk_orders_per_customer": ORACLE_WINDOW_TOPK,
     "antijoin_customers_without_orders": ORACLE_ANTIJOIN,
     "events_metrics_agg": ORACLE_EVENTS_METRICS,
