@@ -142,19 +142,55 @@ class TextLine:
 def polygon_slice_bounding_rect(poly: list[tuple[int, int]], min_x: int, max_x: int) -> Rect | None:
     """Bounding rect of the polygon slice with X in [min_x, max_x]
     (recognition.rs:162-193)."""
-    br = None
-    n = len(poly)
-    for i in range(n):
-        e = Line(poly[i][0], poly[i][1], poly[(i + 1) % n][0], poly[(i + 1) % n][1]).rightwards()
-        if (e.x0 < min_x and e.x1 < min_x) or (e.x0 > max_x and e.x1 > max_x):
-            continue
-        y_start = e.y_for_x(float(min_x))
-        start = (min_x, int(round(y_start))) if y_start is not None else (e.x0, e.y0)
-        y_end = e.y_for_x(float(max_x))
-        end = (max_x, int(round(y_end))) if y_end is not None else (e.x1, e.y1)
-        edge_br = bounding_rect_of_points([start, end])
-        br = br.union(edge_br) if br is not None else edge_br
-    return br
+    (rect,) = polygon_slices_bounding_rects(poly, [(min_x, max_x)])
+    return rect
+
+
+def polygon_slices_bounding_rects(
+    poly: list[tuple[int, int]], slices: list[tuple[int, int]]
+) -> list[Rect | None]:
+    """polygon_slice_bounding_rect for many [min_x, max_x] slices of the
+    SAME polygon in one vectorized pass over (slices x edges) — the
+    per-char geometry reconstruction calls this once per line instead
+    of walking the polygon edge list per recognized char. Semantics
+    (clipping rules, banker's rounding of the edge-x intersections,
+    endpoint fallbacks) are identical to the scalar loop."""
+    if not slices:
+        return []
+    pts = np.asarray(poly, dtype=np.float64)
+    nxt = np.roll(pts, -1, axis=0)
+    x0, y0, x1, y1 = pts[:, 0], pts[:, 1], nxt[:, 0], nxt[:, 1]
+    swap = x0 > x1  # rightwards(): endpoints sorted left-to-right
+    ex0 = np.where(swap, x1, x0)
+    ey0 = np.where(swap, y1, y0)
+    ex1 = np.where(swap, x0, x1)
+    ey1 = np.where(swap, y0, y1)
+    s = np.asarray(slices, dtype=np.float64)
+    sx = s[:, 0][:, None]  # (S, 1) vs (E,) edges
+    ex = s[:, 1][:, None]
+    skip = ((ex0 < sx) & (ex1 < sx)) | ((ex0 > ex) & (ex1 > ex))
+    denom = ex1 - ex0
+    sloped = denom != 0
+    safe_denom = np.where(sloped, denom, 1.0)
+    t_s = (sx - ex0) / safe_denom
+    t_e = (ex - ex0) / safe_denom
+    valid_s = sloped & (sx >= ex0) & (sx <= ex1)
+    valid_e = sloped & (ex >= ex0) & (ex <= ex1)
+    # np.rint == Python round() (both half-to-even).
+    ys = np.where(valid_s, np.rint(ey0 + t_s * (ey1 - ey0)), ey0)
+    xs = np.where(valid_s, sx, ex0)
+    ye = np.where(valid_e, np.rint(ey0 + t_e * (ey1 - ey0)), ey1)
+    xe = np.where(valid_e, ex, ex1)
+    inf = np.inf
+    lo_x = np.where(skip, inf, np.minimum(xs, xe)).min(axis=1)
+    hi_x = np.where(skip, -inf, np.maximum(xs, xe)).max(axis=1)
+    lo_y = np.where(skip, inf, np.minimum(ys, ye)).min(axis=1)
+    hi_y = np.where(skip, -inf, np.maximum(ys, ye)).max(axis=1)
+    kept = ~skip.all(axis=1)
+    return [
+        Rect(int(lo_y[i]), int(lo_x[i]), int(hi_y[i]), int(hi_x[i])) if kept[i] else None
+        for i in range(len(slices))
+    ]
 
 
 class TextRecognizer:
@@ -262,7 +298,7 @@ def _text_line_from_steps(
     x_scale = line_rect.width / line.resized_width if line.resized_width else 0.0
     downsample = int(round(rec_input_len / ctc_input_len)) if ctc_input_len else 1
 
-    chars: list[TextChar] = []
+    kept: list[tuple[str, int, int]] = []
     for i, (pos, label) in enumerate(steps):
         start_x = pos * downsample
         end_x = steps[i + 1][0] * downsample if i + 1 < len(steps) else line.resized_width
@@ -271,10 +307,13 @@ def _text_line_from_steps(
         if sx >= line_rect.right:
             continue  # padding artifact
         ch = alphabet[label - 1] if 0 <= label - 1 < len(alphabet) else "?"
-        rect = polygon_slice_bounding_rect(line.polygon, sx, ex)
-        if rect is None:
-            continue
-        chars.append(TextChar(ch, rect))
+        kept.append((ch, sx, ex))
+    rects = polygon_slices_bounding_rects(
+        line.polygon, [(sx, ex) for _, sx, ex in kept]
+    )
+    chars = [
+        TextChar(ch, rect) for (ch, _, _), rect in zip(kept, rects) if rect is not None
+    ]
     return TextLine(chars) if chars else None
 
 
