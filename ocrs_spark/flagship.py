@@ -119,11 +119,29 @@ def _materialized_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_WOVEN: dict = {}
+
+
 def flagship_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full pipeline over the derived interleaved corpus."""
-    docs = _materialized_interleaved(spark, sf_dir)
-    media = flagship_media(spark)
-    return ocr_documents(docs, media)
+    """The full pipeline over the derived interleaved corpus.
+
+    The woven result is materialized once per (session, sf_dir) and
+    read back: three driver queries project from it (image spans, text
+    spans, serialized pipeline output), and without the cache each one
+    would re-run model inference over the whole corpus. Same pattern as
+    the input materialization above; a real deployment would land the
+    woven table once (checkpoint.commit) and query it."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    path = _WOVEN.get(key)
+    if path is None:
+        docs = _materialized_interleaved(spark, sf_dir)
+        media = flagship_media(spark)
+        path = tempfile.mkdtemp(prefix="ocrs_flagship_") + "/woven"
+        ocr_documents(docs, media).write.parquet(path)
+        _WOVEN[key] = path
+    return spark.read.parquet(path)
 
 
 def ocr_image_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
