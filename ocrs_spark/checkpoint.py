@@ -163,8 +163,17 @@ class DocumentCheckpoint:
             return spark.createDataFrame([], schema="doc_id string")
         return spark.read.parquet(*paths).select("doc_id").distinct()
 
-    def read_result(self, spark: SparkSession) -> DataFrame:
-        paths = [self._join("data", s["run_id"]) for s in self.snapshots(spark)]
+    def read_result(
+        self, spark: SparkSession, as_of_snapshot: int | None = None
+    ) -> DataFrame:
+        """The committed table; ``as_of_snapshot`` time-travels to the
+        state as of that snapshot id (manifest order is commit order,
+        so a prefix of the snapshot list IS the historical table —
+        Iceberg's snapshot-id read, on the same layout)."""
+        snaps = self.snapshots(spark)
+        if as_of_snapshot is not None:
+            snaps = [s for s in snaps if s["snapshot_id"] <= as_of_snapshot]
+        paths = [self._join("data", s["run_id"]) for s in snaps]
         if not paths:
             raise ValueError("no committed snapshots")
         return spark.read.parquet(*paths)

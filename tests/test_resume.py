@@ -50,6 +50,12 @@ def test_partial_commit_then_resume(spark, frames, tmp_path_factory):
     assert run_checkpointed(docs, media, ckpt) is None
     assert len(ckpt.snapshots()) == 2
 
+    # Time travel: as of snapshot 1 the table is exactly the first
+    # committed batch.
+    old = ckpt.read_result(spark, as_of_snapshot=1)
+    assert old.count() == n_first
+    assert spans_as_tuples(old).keys() < spans_as_tuples(result).keys()
+
 
 def test_scheme_root_routes_through_hadoop_fs(spark, frames, tmp_path_factory):
     """A scheme-qualified checkpoint root (here file://, standing in for
