@@ -8,9 +8,10 @@ split so swapping in real Iceberg is a sink change, not a redesign):
       data/<run_id>/part-*.parquet      committed result spans per run
       ledger/<run_id>/part-*.parquet    committed doc_ids per run (lineage)
       metrics/<run_id>.json             per-run extraction metrics
-      manifest.json                     ordered snapshot list (atomic
-                                        rename; a run is visible iff its
-                                        snapshot entry is in the manifest)
+      manifest-<n>.json                 ordered snapshot list, version n
+                                        (readers take the highest n; a run
+                                        is visible iff its snapshot entry
+                                        is in the current manifest)
 
 Resume = LEFT ANTI JOIN of incoming documents against the committed
 ledger, so a killed run restarts from the last committed snapshot and
@@ -21,16 +22,29 @@ The checkpoint root may be any Hadoop-supported URI (``hdfs://``,
 through Spark, and the manifest/metrics I/O is routed through the
 Hadoop FileSystem API whenever the root carries a scheme, so a cluster
 of drivers sees one shared manifest (a bare local path keeps plain
-POSIX I/O). Commit visibility relies on rename(manifest.tmp, manifest):
-atomic on POSIX/HDFS/ABFS; on S3A rename is copy+delete, so with
-concurrent committers prefer an HDFS/ABFS root (or an Iceberg catalog)
-for strict serialization — single-writer S3 pipelines are still safe.
+POSIX I/O).
+
+Commit visibility is a versioned-manifest compare-and-swap (the Iceberg
+HadoopTableOperations pattern): a committer reads the current highest
+``manifest-<n>.json``, writes the successor list to a uniquely-named
+temp file, and publishes it as ``manifest-<n+1>.json`` via an
+exclusive-create primitive (``os.link`` on POSIX, no-overwrite rename
+on HDFS) that FAILS if the version already exists. The live manifest is
+never deleted or overwritten, so a crash at any point leaves the table
+readable at the previous snapshot, and two concurrent committers racing
+for the same version — one wins, the loser re-reads and retries on the
+next version number, so no snapshot is silently dropped. On S3A rename
+is copy+delete and create is not exclusive, so with concurrent
+committers prefer an HDFS/ABFS root (or an Iceberg catalog); a
+single-writer S3 pipeline is still safe. A legacy ``manifest.json``
+(pre-versioning layout) is read as the version-0 baseline.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -43,7 +57,12 @@ from .pipeline import (
     reweave,
 )
 
-MANIFEST = "manifest.json"
+MANIFEST = "manifest.json"  # legacy single-file layout, read as version 0
+_MANIFEST_RE = re.compile(r"^manifest-(\d+)\.json$")
+
+
+def _manifest_name(version: int) -> str:
+    return f"manifest-{version}.json"
 
 
 class _PosixIO:
@@ -63,8 +82,30 @@ class _PosixIO:
         with open(path, "w") as f:
             f.write(text)
 
-    def replace(self, src: str, dst: str) -> None:
-        os.replace(src, dst)  # atomic on POSIX
+    def list_names(self, path: str) -> list[str]:
+        try:
+            return os.listdir(path)
+        except FileNotFoundError:
+            return []
+
+    def delete(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def publish_exclusive(self, src: str, dst: str) -> bool:
+        """Atomically publish src as dst iff dst does not exist.
+
+        ``os.link`` is an atomic create-if-absent on POSIX — two racing
+        committers cannot both succeed, and dst appears fully written.
+        """
+        try:
+            os.link(src, dst)
+        except FileExistsError:
+            return False
+        os.unlink(src)
+        return True
 
 
 class _HadoopIO:
@@ -103,10 +144,28 @@ class _HadoopIO:
         finally:
             stream.close()
 
-    def replace(self, src: str, dst: str) -> None:
-        self._fs.delete(self._p(dst), False)
-        if not self._fs.rename(self._p(src), self._p(dst)):
-            raise IOError(f"rename {src} -> {dst} failed")
+    def list_names(self, path: str) -> list[str]:
+        if not self.exists(path):
+            return []
+        return [
+            str(st.getPath().getName())
+            for st in self._fs.listStatus(self._p(path))
+        ]
+
+    def delete(self, path: str) -> None:
+        self._fs.delete(self._p(path), False)
+
+    def publish_exclusive(self, src: str, dst: str) -> bool:
+        """Publish src as dst iff dst does not exist.
+
+        HDFS ``rename`` (FileSystem API, no OVERWRITE option) returns
+        false when dst exists — the atomic no-clobber primitive Iceberg's
+        HadoopTableOperations builds its version commit on. The live
+        manifest is never deleted, so readers always see a manifest.
+        """
+        if self._fs.exists(self._p(dst)):
+            return False
+        return bool(self._fs.rename(self._p(src), self._p(dst)))
 
 
 def _has_scheme(root: str) -> bool:
@@ -139,21 +198,37 @@ class DocumentCheckpoint:
 
     # ------------------------------------------------------------- state
 
-    def _manifest_path(self) -> str:
-        return self._join(MANIFEST)
+    def _current_manifest(self, fs) -> tuple[int, list[dict]]:
+        """(version, snapshots) of the highest manifest-<n>.json; a legacy
+        manifest.json (pre-versioning layout) reads as version 0."""
+        versions = sorted(
+            int(m.group(1))
+            for name in fs.list_names(self.root)
+            if (m := _MANIFEST_RE.match(name))
+        )
+        if versions:
+            v = versions[-1]
+            text = fs.read_text(self._join(_manifest_name(v)))
+            return v, json.loads(text)["snapshots"]
+        legacy = self._join(MANIFEST)
+        if fs.exists(legacy):
+            return 0, json.loads(fs.read_text(legacy))["snapshots"]
+        return 0, []
 
     def snapshots(self, spark: SparkSession | None = None) -> list[dict]:
-        fs = self._fs(spark)
-        path = self._manifest_path()
-        if not fs.exists(path):
-            return []
-        return json.loads(fs.read_text(path))["snapshots"]
+        _, snaps = self._current_manifest(self._fs(spark))
+        return snaps
 
-    def _write_manifest(self, snapshots: list[dict]) -> None:
-        fs = self._fs()
-        tmp = self._manifest_path() + ".tmp"
+    def _publish_manifest(
+        self, fs, version: int, snapshots: list[dict], run_id: str
+    ) -> bool:
+        """CAS-publish manifest version ``version``; False = lost the race."""
+        tmp = self._join(f".{_manifest_name(version)}.{run_id}.tmp")
         fs.write_text(tmp, json.dumps({"snapshots": snapshots}, indent=2))
-        fs.replace(tmp, self._manifest_path())  # visibility flip
+        if fs.publish_exclusive(tmp, self._join(_manifest_name(version))):
+            return True
+        fs.delete(tmp)
+        return False
 
     # ------------------------------------------------------------ reads
 
@@ -204,15 +279,22 @@ class DocumentCheckpoint:
         if metrics is not None:
             fs.mkdirs(self._join("metrics"))
             fs.write_text(self._join("metrics", f"{run_id}.json"), json.dumps(metrics))
-        snapshots = self.snapshots(spark)
-        snapshot = {
-            "snapshot_id": len(snapshots) + 1,
-            "run_id": run_id,
-            "committed_at": time.time(),
-            "metrics": metrics or {},
-        }
-        self._write_manifest(snapshots + [snapshot])
-        return snapshot
+        for _ in range(32):
+            version, snapshots = self._current_manifest(fs)
+            snapshot = {
+                "snapshot_id": len(snapshots) + 1,
+                "run_id": run_id,
+                "committed_at": time.time(),
+                "metrics": metrics or {},
+            }
+            # Exclusive-create on the successor version: if a concurrent
+            # committer published manifest-<version+1> first, re-read and
+            # rebase this snapshot on theirs — no snapshot is dropped.
+            if self._publish_manifest(fs, version + 1, snapshots + [snapshot], run_id):
+                return snapshot
+        raise IOError(
+            f"checkpoint commit lost {32} consecutive manifest races at {self.root}"
+        )
 
 
 def run_checkpointed(

@@ -98,7 +98,39 @@ def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(d.alias("doc_id"), stored.alias("spans"))
 
 
+# (applicationId, sf_dir, name) -> materialized parquet path. Keyed on
+# applicationId, not id(spark): CPython recycles object ids after a
+# stopped session is collected, which would alias a fresh session to a
+# stale temp path. Temp dirs are removed at interpreter exit.
 _MATERIALIZED: dict = {}
+_TEMP_DIRS: list = []
+_CLEANUP_REGISTERED = False
+
+
+def _materialize_once(
+    spark: SparkSession, sf_dir: str, name: str, build
+) -> DataFrame:
+    """Write ``build()``'s result to parquet once per (session, sf_dir)
+    and read it back on every subsequent call."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _CLEANUP_REGISTERED
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    path = _MATERIALIZED.get(key)
+    if path is None:
+        tmp = tempfile.mkdtemp(prefix="ocrs_flagship_")
+        _TEMP_DIRS.append(tmp)
+        if not _CLEANUP_REGISTERED:
+            _CLEANUP_REGISTERED = True
+            atexit.register(
+                lambda: [shutil.rmtree(d, ignore_errors=True) for d in _TEMP_DIRS]
+            )
+        path = f"{tmp}/{name}"
+        build().write.parquet(path)
+        _MATERIALIZED[key] = path
+    return spark.read.parquet(path)
 
 
 def _materialized_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,18 +140,9 @@ def _materialized_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction expression per branch would dominate the run. A real
     deployment reads documents from a table to begin with — this makes
     the flagship plan shape match that."""
-    import tempfile
-
-    key = (id(spark), sf_dir)
-    path = _MATERIALIZED.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="ocrs_flagship_") + "/documents"
-        interleaved_documents(spark, sf_dir).write.parquet(path)
-        _MATERIALIZED[key] = path
-    return spark.read.parquet(path)
-
-
-_WOVEN: dict = {}
+    return _materialize_once(
+        spark, sf_dir, "documents", lambda: interleaved_documents(spark, sf_dir)
+    )
 
 
 def flagship_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,17 +154,13 @@ def flagship_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     would re-run model inference over the whole corpus. Same pattern as
     the input materialization above; a real deployment would land the
     woven table once (checkpoint.commit) and query it."""
-    import tempfile
 
-    key = (id(spark), sf_dir)
-    path = _WOVEN.get(key)
-    if path is None:
+    def build():
         docs = _materialized_interleaved(spark, sf_dir)
         media = flagship_media(spark)
-        path = tempfile.mkdtemp(prefix="ocrs_flagship_") + "/woven"
-        ocr_documents(docs, media).write.parquet(path)
-        _WOVEN[key] = path
-    return spark.read.parquet(path)
+        return ocr_documents(docs, media)
+
+    return _materialize_once(spark, sf_dir, "woven", build)
 
 
 def ocr_image_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:

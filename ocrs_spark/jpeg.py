@@ -516,6 +516,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            # The decoder handles a single interleaved scan covering every
+            # frame component; a spec-valid multi-scan baseline file
+            # (ns < frame component count) must fail loudly here rather
+            # than KeyError/garble downstream.
+            if frame is not None and ns != len(frame["comps"]):
+                raise UnsupportedImageError(
+                    "non-interleaved (multi-scan) baseline JPEG unsupported"
+                )
             tables = {}
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i : 3 + 2 * i]

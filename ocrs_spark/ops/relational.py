@@ -611,7 +611,10 @@ WITH flagged AS (
   FROM events
 ),
 sessions AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+  -- DuckDB's windowed sum over INT is HUGEINT, which degrades to float64
+  -- under pandas conversion (3.0 vs Spark's bigint 3) — cast to BIGINT so
+  -- the driver's pandas-based canonicalizer hashes identically.
+  SELECT *, (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, count(*) AS n_events,

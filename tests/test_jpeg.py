@@ -97,3 +97,21 @@ def test_jpeg_word_image_ocrs_through_engine():
     # Full pipeline on the binarized decode: exact golden text.
     binar = np.where(decoded > 127, 255, 0).astype(np.uint8)
     assert eng.get_text(eng.prepare_input(binar)) == "77"
+
+
+def test_multi_scan_baseline_rejected_cleanly():
+    """A spec-valid non-interleaved baseline JPEG (SOS covering fewer
+    components than the frame) must raise UnsupportedImageError at parse
+    time, not KeyError/garbage mid-decode."""
+    g = (np.add.outer(np.arange(32), np.arange(32)) * 4).astype(np.uint8)
+    img = np.stack([g, g.T, 255 - g], axis=-1)
+    data = bytearray(encode_jpeg(img, quality=85))
+    # Find the SOS marker and shrink its component list from 3 to 1.
+    i = data.find(b"\xff\xda")
+    assert i != -1
+    seglen = (data[i + 2] << 8) | data[i + 3]
+    assert data[i + 4] == 3  # interleaved 3-component scan as encoded
+    new_seg = bytes([1]) + bytes(data[i + 5 : i + 7]) + bytes(data[i + 4 + seglen - 3 : i + 4 + seglen])
+    patched = bytes(data[: i + 2]) + (len(new_seg) + 2).to_bytes(2, "big") + new_seg + bytes(data[i + 4 + seglen :])
+    with pytest.raises(UnsupportedImageError, match="multi-scan"):
+        decode_jpeg(patched)

@@ -76,8 +76,9 @@ def test_scheme_root_routes_through_hadoop_fs(spark, frames, tmp_path_factory):
     result = ckpt.read_result(spark)
     assert result.count() == docs.count()
     assert spans_as_tuples(result) == spans_as_tuples(expected)
-    # The manifest physically exists where the URI points.
-    assert (local / "table" / "manifest.json").exists()
+    # The versioned manifests physically exist where the URI points.
+    assert (local / "table" / "manifest-1.json").exists()
+    assert (local / "table" / "manifest-2.json").exists()
 
 
 def test_commit_visibility_is_atomic(spark, frames, tmp_path_factory):
@@ -87,3 +88,67 @@ def test_commit_visibility_is_atomic(spark, frames, tmp_path_factory):
     assert ckpt.committed_doc_ids(spark).count() == 0
     with pytest.raises(ValueError, match="no committed snapshots"):
         ckpt.read_result(spark)
+
+
+def test_concurrent_commit_race_drops_no_snapshot(spark, frames, tmp_path_factory):
+    """Two committers racing for the same manifest version: the loser must
+    detect the collision via the exclusive-create CAS, rebase on the
+    winner's manifest, and retry — both snapshots end up visible, the live
+    manifest is never deleted at any point."""
+    import json
+
+    docs, media, _ = frames
+    root = tmp_path_factory.mktemp("ckpt_race")
+    ckpt_a = DocumentCheckpoint(str(root))
+    ckpt_b = DocumentCheckpoint(str(root))
+
+    half_a = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    half_b = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    snap1 = run_checkpointed(half_a, media, ckpt_a)
+
+    # Simulate the race: B publishes manifest-2 between A's manifest read
+    # and A's publish attempt, by pre-creating the version A wants. The
+    # stolen snapshot re-points at run 1's data so the table stays readable.
+    fs = ckpt_a._fs(spark)
+    _, snaps = ckpt_a._current_manifest(fs)
+    stolen = {
+        "snapshot_id": 2,
+        "run_id": snap1["run_id"],
+        "committed_at": 0.0,
+        "metrics": {},
+    }
+    assert ckpt_b._publish_manifest(fs, 2, snaps + [stolen], "raced0000000")
+    # A's next commit must lose version 2, rebase, and win version 3.
+    snap = run_checkpointed(half_b, media, ckpt_a)
+    assert snap is not None and snap["snapshot_id"] == 3
+    assert [s["snapshot_id"] for s in ckpt_a.snapshots()] == [1, 2, 3]
+    # No intermediate state ever had zero manifests on disk.
+    names = {p.name for p in root.iterdir()}
+    assert {"manifest-1.json", "manifest-2.json", "manifest-3.json"} <= names
+    # Losing tmp files are cleaned up.
+    assert not [n for n in names if n.endswith(".tmp")]
+    # Readers take the highest version.
+    top = json.loads((root / "manifest-3.json").read_text())
+    assert len(top["snapshots"]) == 3
+
+
+def test_legacy_single_manifest_reads_as_version_zero(spark, frames, tmp_path_factory):
+    """A pre-versioning table (bare manifest.json) stays readable, and the
+    first new commit publishes manifest-1 on top of it."""
+    import json
+
+    docs, media, _ = frames
+    root = tmp_path_factory.mktemp("ckpt_legacy")
+    ckpt = DocumentCheckpoint(str(root))
+    half = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    snap1 = run_checkpointed(half, media, ckpt)
+    # Rewrite the table into the legacy layout: single manifest.json.
+    (root / "manifest.json").write_text(
+        (root / "manifest-1.json").read_text()
+    )
+    (root / "manifest-1.json").unlink()
+    assert [s["snapshot_id"] for s in ckpt.snapshots()] == [1]
+    snap2 = run_checkpointed(docs, media, ckpt)
+    assert snap2 is not None and snap2["snapshot_id"] == 2
+    assert (root / "manifest-1.json").exists()
+    assert ckpt.read_result(spark).count() == docs.count()
