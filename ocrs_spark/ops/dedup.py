@@ -23,10 +23,10 @@ JACCARD_THRESHOLD = 0.5
 # selective and complete (at cos 0.3, theta=72.5°, a hyperplane agrees
 # on the pair with p=0.597 vs 0.5 for random: measured here, 8x2 bands
 # recall 0.97 but pass 89% of all pairs; centroid blocking recalls only
-# 0.26). The synthetic test embeddings top out at cos~0.6, so the driver
-# row is legitimately empty at every SF (its oracle computes the same
-# empty set); functional proof is tests/test_ann_quality.py's planted
-# near-duplicates, which this operator must recover.
+# 0.26). The synthetic test embeddings top out at cos~0.6, so BOTH
+# engines augment the table with deterministic planted near-duplicates
+# (see planted_embeddings below) to keep the driver row non-vacuous;
+# recall proof is tests/test_ann_quality.py's planted near-duplicates.
 COSINE_THRESHOLD = 0.9
 EMB_LSH_BANDS = 8
 EMB_LSH_ROWS = 8  # 256 buckets/band: ~3% random candidate rate,
@@ -301,22 +301,56 @@ def embedding_near_dup_pairs(emb, threshold: float = COSINE_THRESHOLD):
     )
 
 
+# The synthetic embeddings are near-isotropic (max pair cos ~0.6), so a
+# cos>=0.9 near-dup query over the raw table is empty and the driver
+# comparison would be vacuous (empty == empty). Both engines therefore
+# AUGMENT the table with deterministic planted near-duplicates — a copy
+# of each vec_id < PLANT_N with 0.25 added to its first coordinate
+# (cos ~0.97 against the original; 0.25 is exactly representable, and
+# float32 + float32 is IEEE-identical in Spark and DuckDB, so the
+# augmented vectors are bit-equal engine-to-engine). The driver row is
+# then non-empty: it asserts the full LSH-block + cosine-verify path
+# recovers exactly the planted pairs with bit-identical scores.
+PLANT_N = 6
+PLANT_OFFSET = 1_000_000
+_SPARK_PERTURB = (
+    "concat(array(cast(element_at(embedding, 1) + cast(0.25 as float) as float)),"
+    " slice(embedding, 2, size(embedding) - 1))"
+)
+_DUCK_PERTURB = "list_concat([embedding[1] + 0.25::FLOAT], embedding[2:])"
+
+
+def planted_embeddings(emb):
+    """(vec_id, embedding) with PLANT_N deterministic near-duplicates."""
+    planted = emb.filter(F.col("vec_id") < PLANT_N).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.expr(_SPARK_PERTURB).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
 def embedding_cosine_pairs(spark, sf_dir):
     """Embedding near-duplicate pairs at cos >= COSINE_THRESHOLD over
-    the embeddings table (see embedding_near_dup_pairs; empty on the
-    synthetic tables, whose max pair cosine is ~0.6 — the oracle
-    computes the same empty set, and the planted-duplicate tests prove
-    the operator finds real near-dups)."""
+    the embeddings table augmented with planted near-duplicates (see
+    embedding_near_dup_pairs / planted_embeddings)."""
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb)
+    return embedding_near_dup_pairs(planted_embeddings(emb))
 
 
 def _emb_cosine_oracle() -> str:
     from .similarity import duck_banded_buckets
 
-    bands_sql = duck_banded_buckets(EMB_LSH_BANDS, EMB_LSH_ROWS, EMB_PLANE_BASE)
+    bands_sql = duck_banded_buckets(
+        EMB_LSH_BANDS, EMB_LSH_ROWS, EMB_PLANE_BASE, source="aug"
+    )
     return f"""
-WITH bb AS ({bands_sql}),
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, {_DUCK_PERTURB} AS embedding
+  FROM embeddings WHERE vec_id < {PLANT_N}
+),
+bb AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
@@ -330,8 +364,8 @@ scored AS (
               * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))),
          3) AS cos
   FROM cand
-  JOIN embeddings ea ON ea.vec_id = vec_a
-  JOIN embeddings eb ON eb.vec_id = vec_b
+  JOIN aug ea ON ea.vec_id = vec_a
+  JOIN aug eb ON eb.vec_id = vec_b
 )
 SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {COSINE_THRESHOLD}
 """

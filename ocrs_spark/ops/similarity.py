@@ -204,10 +204,11 @@ def duck_banded_buckets(
     n_bands: int = ANN_BANDS_B,
     n_rows: int = ANN_BAND_ROWS,
     plane_base: int = ANN_BAND_PLANE_BASE,
+    source: str = "embeddings",
 ) -> str:
     return " UNION ALL ".join(
         f"SELECT vec_id, {band} AS band,"
-        f" {duck_band_bucket(band, n_rows, plane_base)} AS bucket FROM embeddings"
+        f" {duck_band_bucket(band, n_rows, plane_base)} AS bucket FROM {source}"
         for band in range(n_bands)
     )
 

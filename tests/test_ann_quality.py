@@ -91,11 +91,21 @@ def test_embedding_near_dup_finds_planted_duplicates(spark):
     assert cand < all_pairs * 0.15
 
 
-def test_embedding_near_dup_empty_on_synthetic_tables(spark, duck):
-    """On the driver tables the pair set is legitimately empty at the
-    0.9 bar — and the DuckDB oracle agrees (exactness of the empty
-    result, not vacuity of the operator: see the planted test above)."""
-    from ocrs_spark.ops.dedup import ORACLE_EMB_COSINE, embedding_cosine_pairs
+def test_embedding_cosine_driver_row_recovers_planted_pairs(spark, duck):
+    """The driver row augments the table with PLANT_N in-query planted
+    near-duplicates on BOTH engines, so the comparison is non-vacuous:
+    the full LSH-block + cosine-verify path must recover exactly the
+    planted pairs (the raw synthetic table tops out at cos ~0.6, so
+    nothing else crosses the 0.9 bar)."""
+    from ocrs_spark.ops.dedup import (
+        ORACLE_EMB_COSINE,
+        PLANT_N,
+        PLANT_OFFSET,
+        embedding_cosine_pairs,
+    )
 
-    assert embedding_cosine_pairs(spark, SF_DIR).count() == 0
-    assert len(duck.sql(ORACLE_EMB_COSINE).fetchall()) == 0
+    rows = embedding_cosine_pairs(spark, SF_DIR).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert got == {(i, i + PLANT_OFFSET) for i in range(PLANT_N)}
+    assert all(0.9 <= r["cos"] < 1.0 for r in rows)
+    assert len(duck.sql(ORACLE_EMB_COSINE).fetchall()) == PLANT_N
