@@ -32,6 +32,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocrs_spark.flagship import (
+        extraction_metrics_run,
+        extraction_quarantine,
         ocr_image_span_texts,
         ocr_interleaved_pipeline,
         ocr_text_span_parity,
@@ -45,14 +47,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver can canonicalize it (nested array<struct> is unhashable
     # in the driver's comparator) — oracle reconstructs the string.
     out["ocr_interleaved_pipeline"] = ocr_interleaved_pipeline
+    # Failure isolation: flagship corpus with planted corrupt media —
+    # corrupt spans land in the quarantine table, totals stay golden.
+    out["extraction_quarantine"] = extraction_quarantine
+    out["extraction_metrics_run"] = extraction_metrics_run
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from ocrs_spark.flagship import (
+        ORACLE_EXTRACTION_METRICS,
         ORACLE_OCR_IMAGE_SPANS,
         ORACLE_OCR_INTERLEAVED,
         ORACLE_OCR_TEXT_SPANS,
+        ORACLE_QUARANTINE,
     )
     from ocrs_spark.ops import all_oracles
 
@@ -60,4 +68,6 @@ def oracle_sql() -> dict[str, str]:
     out["ocr_image_span_texts"] = ORACLE_OCR_IMAGE_SPANS
     out["ocr_text_span_parity"] = ORACLE_OCR_TEXT_SPANS
     out["ocr_interleaved_pipeline"] = ORACLE_OCR_INTERLEAVED
+    out["extraction_quarantine"] = ORACLE_QUARANTINE
+    out["extraction_metrics_run"] = ORACLE_EXTRACTION_METRICS
     return out

@@ -275,3 +275,108 @@ FROM base b
 JOIN m m1 ON m1.ref = b.ref1
 JOIN m m2 ON m2.ref = b.ref2
 """
+
+
+# ------------------------------------------------------- quarantine rows
+
+# Every doc_id % CORRUPT_EVERY == 0 gets an extra image span (offset 9)
+# referencing deliberately undecodable media — the driver-checked proof
+# that per-row failure isolation works end-to-end: the corrupt rows land
+# in the quarantine table with their error stage, every healthy span
+# still OCRs (extraction_metrics_run's totals are exactly the golden
+# formulas), and no task ever dies (pipeline.py:make_ocr_udf catches
+# per-row; reference counterpart: ocrs-cli/src/main.rs's per-file error
+# handling, which skips bad inputs without aborting the run).
+CORRUPT_EVERY = 50
+CORRUPT_REF = "img-corrupt"
+CORRUPT_OFFSET = 9
+
+
+def _quarantine_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR result rows (doc_id, offset, ocr_text, n_words, n_lines,
+    error) over the flagship corpus with planted corrupt media,
+    materialized once per (session, sf_dir)."""
+    from .pipeline import explode_spans, ocr_image_spans
+
+    def build():
+        docs = _materialized_interleaved(spark, sf_dir)
+        corrupt_span = F.struct(
+            F.lit("image").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(CORRUPT_REF).alias("media_ref"),
+            F.lit(CORRUPT_OFFSET).alias("offset"),
+        )
+        docs = docs.withColumn(
+            "spans",
+            F.when(
+                F.col("doc_id") % CORRUPT_EVERY == 0,
+                F.concat("spans", F.array(corrupt_span)),
+            ).otherwise(F.col("spans")),
+        )
+        corrupt_media = spark.createDataFrame(
+            [
+                {
+                    "media_ref": CORRUPT_REF,
+                    "bytes": bytearray(b"\x00garbage: not a decodable image"),
+                    "width": 0,
+                    "height": 0,
+                    "channels": 0,
+                }
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+        media = flagship_media(spark).unionByName(corrupt_media)
+        return ocr_image_spans(explode_spans(docs), media, {"kind": "fake"})
+
+    return _materialize_once(spark, sf_dir, "quarantine_results", build)
+
+
+def extraction_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine table of the planted-corrupt flagship run:
+    (doc_id, offset, error_stage). error_stage is the pipeline stage
+    prefix of the error column ('decode' here — the message text itself
+    may evolve with codec coverage, the stage is the contract)."""
+    from .pipeline import extraction_errors
+
+    return extraction_errors(_quarantine_results(spark, sf_dir)).select(
+        "doc_id",
+        "offset",
+        F.substring_index("error", ":", 1).alias("error_stage"),
+    )
+
+
+ORACLE_QUARANTINE = f"""
+SELECT doc_id, {CORRUPT_OFFSET} AS offset, 'decode' AS error_stage
+FROM documents WHERE doc_id % {CORRUPT_EVERY} = 0
+"""
+
+
+def extraction_metrics_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-run extraction metrics of the planted-corrupt flagship run —
+    one row (spans, errors, total_words, total_lines, docs). The oracle
+    recomputes every total from the golden fake-model constants
+    (img-m -> 1 + m % 3 words on one line; blank and corrupt -> 0)."""
+    from .pipeline import extraction_metrics
+
+    return extraction_metrics(_quarantine_results(spark, sf_dir))
+
+
+ORACLE_EXTRACTION_METRICS = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 4 THEN NULL
+              ELSE (doc_id % 5) % 3 + 1 END AS words
+  FROM documents
+  UNION ALL
+  SELECT doc_id, ((doc_id + 1) % 4) % 3 + 1
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, NULL FROM documents WHERE doc_id % {CORRUPT_EVERY} = 0
+)
+SELECT count(*)::BIGINT AS spans,
+       (SELECT count(*) FROM documents WHERE doc_id % {CORRUPT_EVERY} = 0)::BIGINT AS errors,
+       coalesce(sum(words), 0)::BIGINT AS total_words,
+       sum(CASE WHEN words IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS total_lines,
+       count(DISTINCT doc_id)::BIGINT AS docs
+FROM s
+"""

@@ -18,18 +18,34 @@ def load_tables(spark, sf_dir: str, *names: str):
 
 
 def all_queries():
-    from . import dedup, multimodal, relational, similarity, skew, textstats
+    from . import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        skew,
+        streamrows,
+        textstats,
+    )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
-    from . import dedup, multimodal, relational, similarity, skew, textstats
+    from . import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        skew,
+        streamrows,
+        textstats,
+    )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows):
         out.update(mod.ORACLES)
     return out

@@ -602,8 +602,9 @@ def events_sessionize(spark, sf_dir):
     )
 
 
-ORACLE_SESSIONIZE = f"""
-WITH flagged AS (
+# Shared sessionization CTE body (used by the batch oracle here and the
+# streaming closed-sessions oracle in ops.streamrows).
+SESSIONS_CTE = f"""flagged AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN (epoch_ms(ts) // 1000) - lag((epoch_ms(ts) // 1000), 1, 0)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -616,12 +617,19 @@ sessions AS (
   -- the driver's pandas-based canonicalizer hashes identically.
   SELECT *, (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_idx
   FROM flagged
-)
-SELECT user_id, session_idx, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
-       min((epoch_ms(ts) // 1000)) AS session_start,
-       max((epoch_ms(ts) // 1000)) AS session_end
-FROM sessions GROUP BY user_id, session_idx
+),
+session_aggs AS (
+  SELECT user_id, session_idx, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value,
+         min((epoch_ms(ts) // 1000)) AS session_start,
+         max((epoch_ms(ts) // 1000)) AS session_end
+  FROM sessions GROUP BY user_id, session_idx
+)"""
+
+ORACLE_SESSIONIZE = f"""
+WITH {SESSIONS_CTE}
+SELECT user_id, session_idx, n_events, sum_value, session_start, session_end
+FROM session_aggs
 """
 
 

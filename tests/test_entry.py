@@ -27,12 +27,30 @@ def test_entry_runs_and_returns_rows(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["ocr_image_span_texts", "ocr_text_span_parity", "ocr_interleaved_pipeline"],
+    [
+        "ocr_image_span_texts",
+        "ocr_text_span_parity",
+        "ocr_interleaved_pipeline",
+        "extraction_quarantine",
+        "extraction_metrics_run",
+    ],
 )
 def test_flagship_ocr_oracles(spark, name):
+    # Same dtype-sensitive pandas-path compare as test_oracles (the
+    # driver canonicalizes through pandas, where e.g. DuckDB HUGEINT
+    # degrades to float64 — fetchall() would hide that).
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_oracles import _duck_rows, _rowset
+
     df = entry_mod.queries()[name](spark, SF_DIR)
-    got = sorted(tuple(r) for r in df.collect())
+    got_rows, got_cols = _rowset(df.columns, [tuple(r) for r in df.collect()])
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
-    want = sorted(tuple(r) for r in con.sql(entry_mod.oracle_sql()[name]).fetchall())
-    assert got == want
+    duck_cols, raw = _duck_rows(con.sql(entry_mod.oracle_sql()[name]))
+    want_rows, want_cols = _rowset(duck_cols, raw)
+    assert got_cols == want_cols
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
