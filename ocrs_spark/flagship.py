@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .codec import encode_rawi
 from .fixtures import MEDIA_SCHEMA, make_word_image
+from .matcache import materialize_once as _materialize_once
 from .pipeline import ocr_documents
 
 # ref -> expected OCR text under the fake models (golden constants).
@@ -98,39 +99,6 @@ def interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(d.alias("doc_id"), stored.alias("spans"))
 
 
-# (applicationId, sf_dir, name) -> materialized parquet path. Keyed on
-# applicationId, not id(spark): CPython recycles object ids after a
-# stopped session is collected, which would alias a fresh session to a
-# stale temp path. Temp dirs are removed at interpreter exit.
-_MATERIALIZED: dict = {}
-_TEMP_DIRS: list = []
-_CLEANUP_REGISTERED = False
-
-
-def _materialize_once(
-    spark: SparkSession, sf_dir: str, name: str, build
-) -> DataFrame:
-    """Write ``build()``'s result to parquet once per (session, sf_dir)
-    and read it back on every subsequent call."""
-    import atexit
-    import shutil
-    import tempfile
-
-    global _CLEANUP_REGISTERED
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    path = _MATERIALIZED.get(key)
-    if path is None:
-        tmp = tempfile.mkdtemp(prefix="ocrs_flagship_")
-        _TEMP_DIRS.append(tmp)
-        if not _CLEANUP_REGISTERED:
-            _CLEANUP_REGISTERED = True
-            atexit.register(
-                lambda: [shutil.rmtree(d, ignore_errors=True) for d in _TEMP_DIRS]
-            )
-        path = f"{tmp}/{name}"
-        build().write.parquet(path)
-        _MATERIALIZED[key] = path
-    return spark.read.parquet(path)
 
 
 def _materialized_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
