@@ -12,8 +12,9 @@ Two formats:
    reference's real test images (ocrs-cli/test-data/*.png) can be loaded
    as pixel arrays. Counterpart of the reference's file image scan
    (ocrs-cli/src/main.rs:319-323), which supports PNG/JPEG/WebP via the
-   image crate; JPEG/WebP decode is NOT implemented here (no native
-   codec available) and raises UnsupportedImageError.
+   image crate; JPEG (ocrs_spark.jpeg, baseline T.81) and lossless WebP
+   (ocrs_spark.webp, VP8L) are pure-Python spec implementations
+   dispatched from decode_image below.
 """
 
 from __future__ import annotations
@@ -212,6 +213,11 @@ def decode_image(data: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(data)
     raise UnsupportedImageError(
-        "unsupported image format (RAWI, RLEI, PNG and baseline JPEG supported)"
+        "unsupported image format (RAWI, RLEI, PNG, baseline JPEG and "
+        "lossless WebP supported)"
     )

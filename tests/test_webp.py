@@ -1,0 +1,307 @@
+"""Lossless WebP (VP8L) codec tests: exact encode/decode round-trips
+across every encoder mode, hand-built bitstreams for the decode-only
+features (LZ77 backward references incl. the short-range distance map,
+predictor and color transforms, meta prefix codes), magic-byte dispatch,
+and a WebP word image flowing through the OCR engine end-to-end.
+Counterpart of the reference file scan's WebP support
+(ocrs-cli/src/main.rs:319-323)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ocrs_spark.codec import UnsupportedImageError, decode_image
+from ocrs_spark.webp import (
+    _BitWriter,
+    _write_entropy_image,
+    _write_prefix_code,
+    decode_webp,
+    encode_webp,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+rng = np.random.default_rng(7)
+
+
+def _roundtrip(img, **kw):
+    out = decode_webp(encode_webp(img, **kw))
+    src = img if img.ndim == 3 else img[:, :, None]
+    if src.shape[2] == 1:
+        src = np.repeat(src, 3, axis=2)
+    if src.shape[2] == 4 and out.shape[2] == 3:
+        src = src[:, :, :3]
+    assert np.array_equal(out, src)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"use_palette": False},
+        {"use_palette": False, "subtract_green": True},
+        {"use_palette": False, "cache_bits": 6},
+    ],
+)
+def test_rgb_literal_roundtrips(kw):
+    _roundtrip(rng.integers(0, 256, (23, 17, 3), dtype=np.uint8), **kw)
+
+
+def test_grey_rgba_const_roundtrips():
+    _roundtrip(rng.integers(0, 256, (9, 31), dtype=np.uint8), use_palette=False)
+    _roundtrip(rng.integers(0, 256, (8, 8, 4), dtype=np.uint8), use_palette=False)
+    _roundtrip(np.full((12, 34, 3), 77, np.uint8), use_palette=False)
+    _roundtrip(np.full((12, 34, 3), 77, np.uint8))  # palette, 1 color
+
+
+@pytest.mark.parametrize("n_colors", [2, 3, 16])
+def test_palette_bundling_roundtrips(n_colors):
+    vals = np.linspace(0, 255, n_colors).astype(np.uint8)
+    idx = rng.integers(0, n_colors, (19, 37))
+    img = np.stack([vals[idx]] * 3, axis=-1)
+    _roundtrip(img)
+    _roundtrip(img, cache_bits=4)
+
+
+def _vp8l_header(bw, w, h):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha
+    bw.write(0, 3)  # version
+
+
+def _wrap(bw):
+    import struct
+
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def test_lz77_copy_hand_built_stream():
+    """One literal pixel then a backward reference: length code 2
+    (length 3), long-distance plane code 121 (dist 1) -> 4 identical
+    pixels. Exercises the LZ77 decode path the encoder never emits."""
+    w, h = 4, 1
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # green alphabet: literal 100 and length-code 256+2
+    g = _write_prefix_code(bw, {100: 1, 258: 1}, 280)
+    r = _write_prefix_code(bw, {10: 1}, 256)
+    b = _write_prefix_code(bw, {20: 1}, 256)
+    a = _write_prefix_code(bw, {255: 1}, 256)
+    # distance code 40-symbol alphabet; plane 121 needs lz77 value 121:
+    # sym 13 -> extra=5, offset=(2+1)<<5=96, 96 + rb(5) + 1 = 121 -> rb=24
+    d = _write_prefix_code(bw, {13: 1}, 40)
+
+    def emit(codes, s):
+        c, n = codes[s]
+        bw.write_code(c, n)
+
+    emit(g, 100)  # literal: green=100
+    emit(r, 10)
+    emit(b, 20)
+    emit(a, 255)
+    emit(g, 258)  # length code 2 -> length 3 (no extra bits)
+    emit(d, 13)
+    bw.write(24, 5)  # distance extra bits -> plane 121 -> dist 1
+    out = decode_webp(_wrap(bw))
+    assert out.shape == (1, 4, 3)
+    assert np.all(out == np.array([10, 100, 20], np.uint8))
+
+
+def test_lz77_short_range_distance_map():
+    """Plane code 1 maps to (0, 1): copy from the pixel directly above."""
+    w, h = 3, 2
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    g = _write_prefix_code(bw, {1: 3, 2: 2, 3: 1, 260: 1}, 280)  # 260=len code 4
+    r = _write_prefix_code(bw, {0: 1}, 256)
+    b = _write_prefix_code(bw, {0: 1}, 256)
+    a = _write_prefix_code(bw, {255: 1}, 256)
+    d = _write_prefix_code(bw, {0: 1}, 40)  # dist sym 0 -> value 1 -> (0,1)
+
+    def emit(codes, s):
+        c, n = codes[s]
+        bw.write_code(c, n)
+
+    for green in (1, 2, 3):  # first row literals
+        emit(g, green)
+        emit(r, 0)
+        emit(b, 0)
+        emit(a, 255)
+    # length code 4 -> value 5? lz77(4): extra=(4-2)>>1=1, offset=(2+0)<<1=4,
+    # 4 + rb(1) + 1 -> rb=0 gives 5... need 3: use code 2 -> 3. Re-emit:
+    emit(g, 260)
+    bw.write(0, 1)  # length extra bit -> length 5; clamp: only 3 remain? no
+    emit(d, 0)
+    with pytest.raises(UnsupportedImageError):
+        decode_webp(_wrap(bw))  # length 5 overruns the 3 remaining pixels
+
+    # Rebuild with exact length 3 (code 2, no extra bits).
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    g = _write_prefix_code(bw, {1: 3, 2: 2, 3: 1, 258: 1}, 280)
+    r = _write_prefix_code(bw, {0: 1}, 256)
+    b = _write_prefix_code(bw, {0: 1}, 256)
+    a = _write_prefix_code(bw, {255: 1}, 256)
+    d = _write_prefix_code(bw, {0: 1}, 40)
+    for green in (1, 2, 3):
+        emit(g, green)
+        emit(r, 0)
+        emit(b, 0)
+        emit(a, 255)
+    emit(g, 258)  # length 3
+    emit(d, 0)  # plane 1 -> (0,1) -> dist = w
+    out = decode_webp(_wrap(bw))
+    assert np.array_equal(out[1, :, 1], out[0, :, 1])  # row copied from above
+    assert list(out[0, :, 1]) == [1, 2, 3]
+
+
+def test_predictor_transform_hand_built():
+    """Predictor transform, one block, mode 2 (T): every pixel below the
+    top row reconstructs as (residual + above) mod 256."""
+    w, h = 2, 3
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # predictor
+    bw.write(2, 3)  # size_bits = 4 -> one 16x16 block covers the image
+    # Predictor subimage 1x1: green channel = mode 2.
+    _write_entropy_image(bw, [0xFF000000 | (2 << 8)], 0, level0=False)
+    bw.write(0, 1)  # end transforms
+    # Residual pixels: row0 literal-from-black/L chain; rows 1-2 add 10.
+    res = []
+    # (0,0): predictor 0 adds opaque black, so the residual alpha is 0.
+    res.append((0 << 24) | (0 << 16) | (50 << 8) | 0)
+    res.append((0 << 24) | (0 << 16) | (5 << 8) | 0)  # (1,0): +L
+    for _ in range(2 * 2):  # rows 1..2: mode 2 -> +T
+        res.append((0 << 24) | (0 << 16) | (10 << 8) | 0)
+    _write_entropy_image(bw, res, 0, level0=True)
+    out = decode_webp(_wrap(bw))
+    assert out.shape == (3, 2, 3)
+    # Greens: (0,0)=50, (1,0)=55; each next row +10.
+    assert list(out[:, 0, 1]) == [50, 60, 70]
+    assert list(out[:, 1, 1]) == [55, 65, 75]
+
+
+def test_color_transform_hand_built():
+    """Color transform, one block: green_to_red=16 shifts red by
+    (16 * green) >> 5 = green/2."""
+    w, h = 2, 1
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(1, 2)  # color transform
+    bw.write(2, 3)  # size_bits 4, one block
+    # cte pixel: blue channel = green_to_red = 16; others 0.
+    _write_entropy_image(bw, [0xFF000000 | 16], 0, level0=False)
+    bw.write(0, 1)
+    px = [
+        (255 << 24) | (100 << 16) | (64 << 8) | 200,
+        (255 << 24) | (7 << 16) | (32 << 8) | 50,
+    ]
+    _write_entropy_image(bw, px, 0, level0=True)
+    out = decode_webp(_wrap(bw))
+    # red' = red + (int8(16) * int8(green)) >> 5
+    assert out[0, 0, 0] == (100 + ((16 * 64) >> 5)) % 256
+    assert out[0, 1, 0] == (7 + ((16 * 32) >> 5)) % 256
+    assert list(out[0, :, 1]) == [64, 32]  # green untouched
+
+
+def test_meta_prefix_codes_hand_built():
+    """Two huffman groups selected by a 2x1 entropy image (prefix_bits=2,
+    4-pixel blocks): left block decodes greens with group 0's codes,
+    right block with group 1's."""
+    w, h = 8, 1
+    bw = _BitWriter()
+    _vp8l_header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta prefix present
+    bw.write(0, 3)  # prefix_bits = 2
+    # Entropy image 2x1: meta index in (red<<8)|green -> 0 and 1.
+    _write_entropy_image(
+        bw, [0xFF000000 | (0 << 8), 0xFF000000 | (1 << 8)], 0, level0=False
+    )
+
+    def five(greens):
+        g = _write_prefix_code(bw, {s: 1 for s in greens}, 280)
+        r = _write_prefix_code(bw, {0: 1}, 256)
+        b = _write_prefix_code(bw, {0: 1}, 256)
+        a = _write_prefix_code(bw, {255: 1}, 256)
+        _write_prefix_code(bw, {0: 1}, 40)
+        return g, r, b, a
+
+    g0, r0, b0, a0 = five([11])  # group 0: single-symbol green 11
+    g1, r1, b1, a1 = five([22, 33])  # group 1: greens 22/33
+
+    def emit(codes, s):
+        c, n = codes[s]
+        bw.write_code(c, n)
+
+    for _ in range(4):  # left block: 0-bit single-symbol reads
+        emit(g0, 11)
+        emit(r0, 0)
+        emit(b0, 0)
+        emit(a0, 255)
+    for i in range(4):  # right block alternates 22/33
+        emit(g1, 22 if i % 2 == 0 else 33)
+        emit(r1, 0)
+        emit(b1, 0)
+        emit(a1, 255)
+    out = decode_webp(_wrap(bw))
+    assert list(out[0, :, 1]) == [11, 11, 11, 11, 22, 33, 22, 33]
+
+
+def test_dispatch_and_unsupported():
+    img = np.full((5, 5, 3), 9, np.uint8)
+    data = encode_webp(img)
+    assert np.array_equal(decode_image(data), np.repeat(np.repeat(img, 1, 0), 1, 1))
+    # Lossy VP8 chunk is rejected cleanly.
+    import struct
+
+    lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
+    with pytest.raises(UnsupportedImageError, match="lossy"):
+        decode_image(lossy)
+
+
+def test_committed_fixture_decodes_to_stored_pixels():
+    with open(os.path.join(FIXTURES, "sample_lossless.webp"), "rb") as f:
+        data = f.read()
+    expected = np.load(os.path.join(FIXTURES, "sample_lossless_source.npy"))
+    got = decode_image(data)
+    assert got.shape == expected.shape
+    assert np.array_equal(got, expected)  # lossless: bit-exact
+
+
+def test_webp_word_image_through_engine():
+    """A WebP-encoded word image OCRs to the same text as its RAWI twin
+    through the full engine (fake models, reference-validated)."""
+    from ocrs_spark.fixtures import make_word_image
+    from ocrs_spark.models import FakeDetectionModel, FakeRecognitionModel, fake_alphabet
+    from ocrs_spark import OcrEngine, OcrEngineParams
+
+    img = make_word_image(2)
+    eng = OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            recognition_model=FakeRecognitionModel(),
+            alphabet=fake_alphabet(),
+        )
+    )
+    decoded = decode_image(encode_webp(img))
+    assert np.array_equal(decoded, img)  # lossless round through WebP
+    text = eng.get_text(eng.prepare_input(decoded))
+    assert text == "77"
