@@ -6,14 +6,21 @@ real corpora are mostly JPEG, and this sandbox has no native codec, so
 baseline JPEG is implemented from the spec the same way the PNG reader
 in codec.py is.
 
-Decoder: baseline sequential DCT (SOF0/SOF1), 8-bit, grey or YCbCr,
-any sampling factors with integer ratios (4:4:4, 4:2:2, 4:2:0),
-restart intervals. Progressive (SOF2), arithmetic coding, 12-bit and
-hierarchical JPEG raise UnsupportedImageError.
+Decoder: baseline sequential DCT (SOF0/SOF1, interleaved or multi-scan
+non-interleaved) AND progressive DCT (SOF2: spectral selection,
+successive approximation, EOB runs — T.81 G.1.2), 8-bit, grey or
+YCbCr, any sampling factors with integer ratios (4:4:4, 4:2:2, 4:2:0),
+restart intervals. Every scan accumulates into persistent per-component
+coefficient arrays; one vectorized IDCT runs at the end. Arithmetic
+coding, 12-bit and hierarchical JPEG raise UnsupportedImageError.
 
-Encoder: baseline, standard Annex K quantization (IJG quality scaling)
-and Huffman tables, 4:4:4 or 4:2:0 — used to produce test fixtures and
-as the sink-side counterpart (the reference CLI only decodes JPEG).
+Encoders: baseline (standard Annex K quantization with IJG quality
+scaling and Annex K Huffman tables, 4:4:4 or 4:2:0), progressive
+(encode_jpeg_progressive: a 5-stage spectral-selection + successive-
+approximation scan script with per-scan frequency-built Huffman
+tables), and multi-scan sequential (encode_jpeg_multiscan) — used for
+test fixtures and as the sink-side counterpart (the reference CLI only
+decodes JPEG).
 
 Throughput note: the DCT/IDCT and color transforms are vectorized
 numpy over whole planes; the entropy coder is a per-symbol Python
@@ -458,16 +465,219 @@ def _receive_extend(br: _BitReader, size: int) -> int:
     return v
 
 
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skipping
+    stuffed 0xFF00 and RSTn)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+class _ScanDecoder:
+    """Entropy decode of one scan (sequential or progressive) into the
+    persistent per-component zigzag coefficient arrays (T.81 G.1.2)."""
+
+    def __init__(self, br, coeffs, htables, progressive, restart_interval):
+        self.br = br
+        self.coeffs = coeffs
+        self.htables = htables
+        self.progressive = progressive
+        self.restart_interval = restart_interval
+        self.eobrun = 0
+
+    def run(self, frame, scan_comps, ss, se, ah, al, mcux, mcuy, hmax, vmax):
+        br = self.br
+        preds = {c["id"]: 0 for c in scan_comps}
+        unit = 0
+
+        def maybe_restart():
+            nonlocal preds
+            if (
+                self.restart_interval
+                and unit
+                and unit % self.restart_interval == 0
+            ):
+                br.restart()
+                preds = {c["id"]: 0 for c in scan_comps}
+                self.eobrun = 0
+
+        if len(scan_comps) > 1:  # interleaved: MCU order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                self._block(
+                                    c,
+                                    my * c["v"] + by,
+                                    mx * c["h"] + bx,
+                                    ss,
+                                    se,
+                                    ah,
+                                    al,
+                                    preds,
+                                )
+                    unit += 1
+        else:  # non-interleaved: the component's own block raster
+            c = scan_comps[0]
+            w, h = frame["w"], frame["h"]
+            comp_w = -(-w * c["h"] // hmax)
+            comp_h = -(-h * c["v"] // vmax)
+            bxs = -(-comp_w // 8)
+            bys = -(-comp_h // 8)
+            for by in range(bys):
+                for bx in range(bxs):
+                    maybe_restart()
+                    self._block(c, by, bx, ss, se, ah, al, preds)
+                    unit += 1
+
+    def _block(self, c, by, bx, ss, se, ah, al, preds):
+        zz = self.coeffs[c["id"]][by, bx]
+        if not self.progressive:
+            self._sequential(c, zz, preds)
+        elif ss == 0:
+            if ah == 0:
+                self._dc_first(c, zz, al, preds)
+            else:
+                self._dc_refine(zz, al)
+        else:
+            if ah == 0:
+                self._ac_first(c, zz, ss, se, al)
+            else:
+                self._ac_refine(c, zz, ss, se, al)
+
+    def _sequential(self, c, zz, preds):
+        br = self.br
+        dc_tbl = self.htables[(0, c["dc"])]
+        ac_tbl = self.htables[(1, c["ac"])]
+        s = _read_huff(br, dc_tbl)
+        preds[c["id"]] += _receive_extend(br, s)
+        zz[0] = preds[c["id"]]
+        k = 1
+        while k < 64:
+            rs = _read_huff(br, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise UnsupportedImageError("JPEG AC run overflow")
+            zz[k] = _receive_extend(br, s)
+            k += 1
+
+    def _dc_first(self, c, zz, al, preds):
+        s = _read_huff(self.br, self.htables[(0, c["dc"])])
+        preds[c["id"]] += _receive_extend(self.br, s)
+        zz[0] = preds[c["id"]] << al
+
+    def _dc_refine(self, zz, al):
+        if self.br.read_bits(1):
+            zz[0] |= 1 << al
+
+    def _ac_first(self, c, zz, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        br = self.br
+        ac_tbl = self.htables[(1, c["ac"])]
+        k = ss
+        while k <= se:
+            rs = _read_huff(br, ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    self.eobrun = (1 << r) - 1
+                    if r:
+                        self.eobrun += br.read_bits(r)
+                    break
+                k += 16
+            else:
+                k += r
+                if k > se:
+                    raise UnsupportedImageError("JPEG AC run overflow")
+                zz[k] = _receive_extend(br, s) << al
+                k += 1
+
+    def _ac_refine(self, c, zz, ss, se, al):
+        """Successive-approximation AC refinement (T.81 G.1.2.3): new
+        coefficients are placed with bit al; already-nonzero ones
+        receive a correction bit whenever the scan passes over them."""
+        br = self.br
+        ac_tbl = self.htables[(1, c["ac"])]
+        p1 = 1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = _read_huff(br, ac_tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        # Full run count INCLUDING this block: the tail
+                        # loop below still owes this block's correction
+                        # bits, then decrements (unlike _ac_first, where
+                        # the current block ends with nothing to read).
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += br.read_bits(r)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise UnsupportedImageError("bad AC refinement size")
+                    newval = p1 if br.read_bits(1) else -p1
+                # Advance over r zero-history coefficients, applying
+                # correction bits to nonzero ones crossed on the way
+                # (history-nonzero coefficients never count toward r).
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.read_bits(1):
+                            if not (abs(int(zz[k])) & p1):
+                                zz[k] += p1 if zz[k] > 0 else -p1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s != 0:
+                    if k > se:
+                        raise UnsupportedImageError("JPEG AC refine overflow")
+                    zz[k] = newval
+                k += 1
+        if self.eobrun > 0:
+            # Inside an EOB run only correction bits are coded.
+            while k <= se:
+                if zz[k] != 0 and br.read_bits(1):
+                    if not (abs(int(zz[k])) & p1):
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                k += 1
+            self.eobrun -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an HWC uint8 array (1 or 3 channels)."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to an
+    HWC uint8 array (1 or 3 channels). Multi-scan sequential files are
+    handled by the same coefficient-accumulation path as progressive."""
     if data[:2] != b"\xff\xd8":
         raise UnsupportedImageError("not a JPEG")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
-    scan = None
+    coeffs: dict[int, np.ndarray] = {}
+    mcux = mcuy = hmax = vmax = 0
+    saw_scan = False
+
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise UnsupportedImageError("bad JPEG marker stream")
@@ -499,102 +709,79 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + n])
                 htables[(tclass, tid)] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise UnsupportedImageError(f"{prec}-bit JPEG unsupported")
+            progressive = marker == 0xC2
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1 or any(
+                hmax % c["h"] or vmax % c["v"] for c in comps
+            ):
+                raise UnsupportedImageError(
+                    "non-integer JPEG sampling ratios unsupported"
+                )
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coeffs = {
+                c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedImageError(
-                "only baseline sequential JPEG supported (progressive/arithmetic/lossless found)"
+                "unsupported JPEG coding (lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise UnsupportedImageError("JPEG SOS before SOF")
             ns = seg[0]
-            # The decoder handles a single interleaved scan covering every
-            # frame component; a spec-valid multi-scan baseline file
-            # (ns < frame component count) must fail loudly here rather
-            # than KeyError/garble downstream.
-            if frame is not None and ns != len(frame["comps"]):
-                raise UnsupportedImageError(
-                    "non-interleaved (multi-scan) baseline JPEG unsupported"
-                )
-            tables = {}
+            by_id = {c["id"]: c for c in frame["comps"]}
+            scan_comps = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i : 3 + 2 * i]
-                tables[cid] = (tt >> 4, tt & 15)
-            scan = {"tables": tables, "entropy_start": pos + seglen}
-            break
+                if cid not in by_id:
+                    raise UnsupportedImageError("JPEG scan names unknown component")
+                c = dict(by_id[cid])
+                c["dc"], c["ac"] = tt >> 4, tt & 15
+                scan_comps.append(c)
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            br = _BitReader(data, pos + seglen)
+            _ScanDecoder(br, coeffs, htables, progressive, restart_interval).run(
+                frame, scan_comps, ss, se, ah, al, mcux, mcuy, hmax, vmax
+            )
+            saw_scan = True
+            pos = _skip_to_marker(data, br.pos)
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise UnsupportedImageError("JPEG missing SOF/SOS")
 
+    # Dequantize + vectorized IDCT over every block of every component.
     h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or any(
-        hmax % c["h"] or vmax % c["v"] for c in comps
-    ):
-        raise UnsupportedImageError("non-integer JPEG sampling ratios unsupported")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    br = _BitReader(data, scan["entropy_start"])
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        for c in comps
-    }
-    preds = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.restart()
-                preds = {c["id"]: 0 for c in comps}
-            for c in comps:
-                dc_tid, ac_tid = scan["tables"][c["id"]]
-                dc_tbl = htables[(0, dc_tid)]
-                ac_tbl = htables[(1, ac_tid)]
-                q = qtables[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64)
-                        s = _read_huff(br, dc_tbl)
-                        preds[c["id"]] += _receive_extend(br, s)
-                        zz[0] = preds[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _read_huff(br, ac_tbl)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise UnsupportedImageError("JPEG AC run overflow")
-                            zz[k] = _receive_extend(br, s)
-                            k += 1
-                        coefs = np.zeros(64)
-                        coefs[_ZIGZAG_FLAT] = zz
-                        block = _C.T @ (coefs.reshape(8, 8) * q) @ _C + 128.0
-                        py = (my * c["v"] + by) * 8
-                        px = (mx * c["h"] + bx) * 8
-                        planes[c["id"]][py : py + 8, px : px + 8] = block
-            mcu_count += 1
-
     out_planes = []
     for c in comps:
-        p = planes[c["id"]]
+        zz = coeffs[c["id"]].astype(np.float64)  # (by, bx, 64) zigzag
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG_FLAT] = zz
+        blocks = nat.reshape(zz.shape[0], zz.shape[1], 8, 8) * qtables[c["tq"]]
+        spatial = np.einsum("iu,ryuv,vj->ryij", _C.T, blocks, _C) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(
+            zz.shape[0] * 8, zz.shape[1] * 8
+        )
         ch = -(-h * c["v"] // vmax)
         cw = -(-w * c["h"] // hmax)
-        p = p[:ch, :cw]
+        p = plane[:ch, :cw]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out_planes.append(p[:h, :w])
 
@@ -608,3 +795,364 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# -------------------------------------------------- progressive encoder
+
+
+def _jpeg_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """(BITS, HUFFVAL) for a canonical JPEG Huffman table built from
+    symbol frequencies (length-limited to 16). A dummy symbol 256 with
+    frequency 1 is added and then dropped: it sorts after every real
+    symbol so it absorbs the final (all-ones) code, satisfying JPEG's
+    prohibition of all-1 codes without disturbing the real codes."""
+    from .webp import _package_merge
+
+    f = {s: max(1, int(c)) for s, c in freqs.items() if c > 0}
+    if not f:
+        f = {0: 1}
+    f[256] = 1
+    lengths = _package_merge(f, 16)
+    pairs = sorted((l, s) for s, l in lengths.items())
+    bits = [0] * 16
+    vals: list[int] = []
+    for l, s in pairs:
+        if s == 256:
+            continue
+        bits[l - 1] += 1
+        vals.append(s)
+    return bits, vals
+
+
+def _play_ops(ops, codes, writer) -> None:
+    for op in ops:
+        if op[0] == "s":
+            c, n = codes[op[1]]
+            writer.write(c, n)
+        else:
+            writer.write(op[1], op[2])
+
+
+def _count_syms(ops) -> dict[int, int]:
+    freq: dict[int, int] = {}
+    for op in ops:
+        if op[0] == "s":
+            freq[op[1]] = freq.get(op[1], 0) + 1
+    return freq
+
+
+def _dc_first_ops(qcoeffs, comps, mcux, mcuy, al):
+    """Interleaved DC scan ops per component table class (one op list
+    per component id)."""
+    preds = {c["id"]: 0 for c in comps}
+    merged: list = []  # (component id, op) in interleaved stream order
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(qcoeffs[c["id"]][my * c["v"] + by, mx * c["h"] + bx, 0])
+                        v = dc >> al  # arithmetic shift per T.81 point transform
+                        diff = v - preds[c["id"]]
+                        preds[c["id"]] = v
+                        size, bits_ = _magnitude(diff)
+                        merged.append((c["id"], ("s", size)))
+                        if size:
+                            merged.append((c["id"], ("b", bits_, size)))
+    return merged
+
+
+def _dc_refine_ops(qcoeffs, comps, mcux, mcuy, al):
+    merged: list = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(qcoeffs[c["id"]][my * c["v"] + by, mx * c["h"] + bx, 0])
+                        merged.append((c["id"], ("b", (dc >> al) & 1, 1)))
+    return merged
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform: divide by 2^al truncating toward zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _flush_eobrun(ops, state):
+    n = state["eobrun"]
+    if n:
+        r = n.bit_length() - 1
+        ops.append(("s", r << 4))
+        if r:
+            ops.append(("b", n - (1 << r), r))
+        state["eobrun"] = 0
+    ops.extend(state["pending"])
+    state["pending"] = []
+
+
+def _ac_first_ops(blocks, ss, se, al):
+    """Ops for one component's AC first scan (T.81 G.1.2.2), blocks in
+    non-interleaved raster order; EOB runs across blocks."""
+    ops: list = []
+    state = {"eobrun": 0, "pending": []}
+    for zz in blocks:
+        r = 0
+        any_emitted = False
+        for k in range(ss, se + 1):
+            v = _trunc_shift(int(zz[k]), al)
+            if v == 0:
+                r += 1
+                continue
+            _flush_eobrun(ops, state)
+            while r > 15:
+                ops.append(("s", 0xF0))
+                r -= 16
+            size, bits_ = _magnitude(v)
+            ops.append(("s", (r << 4) | size))
+            ops.append(("b", bits_, size))
+            r = 0
+            any_emitted = True
+        if r > 0 or not any_emitted:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(ops, state)
+    _flush_eobrun(ops, state)
+    return ops
+
+
+def _ac_refine_ops(blocks, ss, se, al):
+    """Ops for one component's AC refinement scan (T.81 G.1.2.3, the
+    libjpeg BE-buffer discipline): correction bits for history-nonzero
+    coefficients are buffered and flushed immediately after the next
+    emitted code; a ZRL is emitted at the FIRST nonzero coefficient
+    reached once the zero-history run exceeds 15 (and only when a later
+    newly-nonzero coefficient exists in the block — otherwise the run
+    folds into the EOB run)."""
+    ops: list = []
+    state = {"eobrun": 0, "pending": []}
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob_rel = -1  # last newly-nonzero position (relative)
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob_rel = i
+        r = 0
+        bits: list = []  # correction bits since the last emitted code
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_rel:
+                _flush_eobrun(ops, state)
+                ops.append(("s", 0xF0))
+                ops.extend(bits)
+                bits = []
+                r -= 16
+            if t > 1:
+                bits.append(("b", t & 1, 1))
+                continue
+            _flush_eobrun(ops, state)
+            v = int(zz[ss + i])
+            ops.append(("s", (r << 4) | 1))
+            ops.append(("b", 1 if v > 0 else 0, 1))
+            ops.extend(bits)
+            bits = []
+            r = 0
+        if r > 0 or bits:
+            state["eobrun"] += 1
+            state["pending"].extend(bits)
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(ops, state)
+    _flush_eobrun(ops, state)
+    return ops
+
+
+def _component_qcoeffs(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: quantized zigzag coefficient arrays per
+    component at interleaved padded dims, plus frame metadata."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    qy = _scaled_qtable(_Q_LUMA, quality)
+    qc = _scaled_qtable(_Q_CHROMA, quality)
+    if subsample:
+        raise UnsupportedImageError(
+            "progressive encoder supports 4:4:4/greyscale only"
+        )
+    if nch == 1:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+        planes = {1: img[:, :, 0].astype(np.float64)}
+        qts = {0: qy}
+    elif nch == 3:
+        y, cb, cr = _rgb_to_ycbcr(img)
+        comps = [
+            {"id": 1, "h": 1, "v": 1, "tq": 0},
+            {"id": 2, "h": 1, "v": 1, "tq": 1},
+            {"id": 3, "h": 1, "v": 1, "tq": 1},
+        ]
+        planes = {1: y, 2: cb, 3: cr}
+        qts = {0: qy, 1: qc}
+    else:
+        raise UnsupportedImageError(f"cannot encode {nch}-channel JPEG")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qcoeffs = {}
+    for c in comps:
+        p = _pad_to(planes[c["id"]], mcuy * c["v"] * 8, mcux * c["h"] * 8)
+        sh = p.astype(np.float64) - 128.0
+        blocks = sh.reshape(p.shape[0] // 8, 8, p.shape[1] // 8, 8).transpose(0, 2, 1, 3)
+        q = np.round(
+            np.einsum("ux,ryxc,cv->ryuv", _C, blocks, _C.T) / qts[c["tq"]]
+        ).astype(np.int32)
+        # store zigzag-ordered flat coefficients
+        flat = q.reshape(q.shape[0], q.shape[1], 64)
+        zz = flat[:, :, _ZIGZAG_FLAT]
+        qcoeffs[c["id"]] = zz
+    return h, w, comps, qcoeffs, qts, mcux, mcuy, hmax, vmax
+
+
+def _sos_segment(scan_comps, table_ids, ss, se, ah, al) -> bytes:
+    seg = bytes([len(scan_comps)])
+    for c in scan_comps:
+        dc_id, ac_id = table_ids[c["id"]]
+        seg += bytes([c["id"], (dc_id << 4) | ac_id])
+    seg += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """Encode a progressive (SOF2) JPEG, 4:4:4 or greyscale.
+
+    Scan script (a realistic spectral-selection + successive-
+    approximation ladder, exercising every progressive decode path):
+      1. DC first, all components interleaved (Ah=0, Al=1)
+      2. DC refine (Ah=1, Al=0)
+      3. per component: AC 1..5  first (Al=1)
+      4. per component: AC 6..63 first (Al=1)
+      5. per component: AC 1..63 refine (Ah=1, Al=0)
+    AC Huffman tables are built per scan from actual symbol frequencies
+    (Annex K tables lack the EOBn codes progressive needs)."""
+    h, w, comps, qcoeffs, qts, mcux, mcuy, hmax, vmax = _component_qcoeffs(
+        img, quality, False
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, qts[0])
+    if 1 in qts:
+        out += _dqt_segment(1, qts[1])
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    # DC tables: Annex K (sizes 0..11 are all present).
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    if len(comps) > 1:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    dc_codes = {
+        1: _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        2: _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        3: _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    }
+    table_ids = {c["id"]: (0 if c["id"] == 1 else 1, 0) for c in comps}
+
+    def comp_blocks(c):
+        bxs = -(-(-(-w * c["h"] // hmax)) // 8)
+        bys = -(-(-(-h * c["v"] // vmax)) // 8)
+        zz = qcoeffs[c["id"]]
+        return [zz[by, bx] for by in range(bys) for bx in range(bxs)]
+
+    # Scan 1: DC first (interleaved, Al=1).
+    out += _sos_segment(comps, table_ids, 0, 0, 0, 1)
+    bw = _BitWriter()
+    for cid, op in _dc_first_ops(qcoeffs, comps, mcux, mcuy, 1):
+        if op[0] == "s":
+            c, n = dc_codes[cid][op[1]]
+            bw.write(c, n)
+        else:
+            bw.write(op[1], op[2])
+    out += bw.flush()
+
+    # Scan 2: DC refine (Ah=1, Al=0) — raw bits only.
+    out += _sos_segment(comps, table_ids, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for _, op in _dc_refine_ops(qcoeffs, comps, mcux, mcuy, 0):
+        bw.write(op[1], op[2])
+    out += bw.flush()
+
+    # AC scans per component, custom per-scan Huffman table id 0.
+    ac_scans = [(1, 5, 0, 1), (6, 63, 0, 1), (1, 63, 1, 0)]
+    for ss, se, ah, al in ac_scans:
+        for c in comps:
+            blocks = comp_blocks(c)
+            ops = (
+                _ac_refine_ops(blocks, ss, se, al)
+                if ah
+                else _ac_first_ops(blocks, ss, se, al)
+            )
+            bits, vals = _jpeg_huffman_spec(_count_syms(ops))
+            out += _dht_segment(1, 0, bits, vals)
+            codes = _build_codes(bits, vals)
+            out += _sos_segment(
+                [c], {c["id"]: (table_ids[c["id"]][0], 0)}, ss, se, ah, al
+            )
+            bw = _BitWriter()
+            _play_ops(ops, codes, bw)
+            out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(img: np.ndarray, quality: int = 85) -> bytes:
+    """Encode a sequential baseline (SOF0) JPEG as one NON-interleaved
+    scan per component (spec-valid ns=1 scans; 4:4:4 or greyscale) —
+    the multi-scan sequential shape real encoders sometimes emit, which
+    the unified coefficient-accumulation decoder handles alongside
+    progressive."""
+    h, w, comps, qcoeffs, qts, mcux, mcuy, hmax, vmax = _component_qcoeffs(
+        img, quality, False
+    )
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, qts[0])
+    if 1 in qts:
+        out += _dqt_segment(1, qts[1])
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    if len(comps) > 1:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    luma_codes = (
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
+    )
+    chroma_codes = (
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    )
+    for c in comps:
+        tid = 0 if c["id"] == 1 else 1
+        dc_codes, ac_codes = luma_codes if tid == 0 else chroma_codes
+        out += _sos_segment([c], {c["id"]: (tid, tid)}, 0, 63, 0, 0)
+        bw = _BitWriter()
+        bxs = -(-(-(-w * c["h"] // hmax)) // 8)
+        bys = -(-(-(-h * c["v"] // vmax)) // 8)
+        pred = 0
+        for by in range(bys):
+            for bx in range(bxs):
+                zz = qcoeffs[c["id"]][by, bx]
+                nat = np.zeros(64, np.int32)
+                nat[_ZIGZAG_FLAT] = zz
+                pred = _encode_one_block(
+                    bw, nat.reshape(8, 8), dc_codes, ac_codes, pred
+                )
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

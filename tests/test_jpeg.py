@@ -10,7 +10,12 @@ import numpy as np
 import pytest
 
 from ocrs_spark.codec import UnsupportedImageError, decode_image
-from ocrs_spark.jpeg import decode_jpeg, encode_jpeg
+from ocrs_spark.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_multiscan,
+    encode_jpeg_progressive,
+)
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
@@ -54,12 +59,48 @@ def test_decode_image_dispatches_on_jpeg_magic():
     assert out.shape == (8, 8, 1) and int(out.mean()) in (199, 200, 201)
 
 
-def test_progressive_jpeg_rejected():
+@pytest.mark.parametrize("shape", [(8, 16), (33, 45, 3), (64, 64, 3), (17, 23)])
+def test_progressive_decodes_identically_to_baseline(shape):
+    """Progressive (SOF2: DC first+refine, spectral-selection AC first
+    scans, successive-approximation AC refinement with EOB runs) must
+    reconstruct EXACTLY the same coefficients as the baseline encoding
+    of the same image — pixel output is asserted bit-identical."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=85))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_flat_and_gradient_long_eob_runs():
+    flat = np.full((80, 80, 3), 130, np.uint8)
+    grad = np.stack([np.tile(np.arange(120, dtype=np.uint8), (90, 1))] * 3, -1)
+    for img in (flat, grad):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, quality=85)),
+            decode_jpeg(encode_jpeg_progressive(img, quality=85)),
+        )
+
+
+def test_committed_progressive_fixture():
+    """The committed progressive twin decodes to exactly the same pixels
+    as the committed 4:4:4 baseline encoding of the same source."""
+    with open(os.path.join(FIXTURES, "sample_progressive.jpg"), "rb") as f:
+        data = f.read()
+    expected = np.load(os.path.join(FIXTURES, "sample_progressive_decoded.npy"))
+    got = decode_jpeg(data)
+    assert np.array_equal(got, expected)
+    source = np.load(os.path.join(FIXTURES, "sample_baseline_source.npy"))
+    assert np.array_equal(got, decode_jpeg(encode_jpeg(source, quality=85)))
+    assert b"\xff\xc2" in data  # really SOF2
+
+
+def test_arithmetic_coding_rejected():
     img = np.full((8, 8), 99, np.uint8)
     data = bytearray(encode_jpeg(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(UnsupportedImageError, match="baseline"):
+    data[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(UnsupportedImageError, match="arithmetic"):
         decode_jpeg(bytes(data))
 
 
@@ -99,19 +140,14 @@ def test_jpeg_word_image_ocrs_through_engine():
     assert eng.get_text(eng.prepare_input(binar)) == "77"
 
 
-def test_multi_scan_baseline_rejected_cleanly():
-    """A spec-valid non-interleaved baseline JPEG (SOS covering fewer
-    components than the frame) must raise UnsupportedImageError at parse
-    time, not KeyError/garbage mid-decode."""
+def test_multi_scan_sequential_baseline():
+    """A spec-valid NON-interleaved sequential file (one SOS per
+    component) decodes identically to the interleaved encoding — the
+    unified coefficient-accumulation decoder handles both."""
     g = (np.add.outer(np.arange(32), np.arange(32)) * 4).astype(np.uint8)
     img = np.stack([g, g.T, 255 - g], axis=-1)
-    data = bytearray(encode_jpeg(img, quality=85))
-    # Find the SOS marker and shrink its component list from 3 to 1.
-    i = data.find(b"\xff\xda")
-    assert i != -1
-    seglen = (data[i + 2] << 8) | data[i + 3]
-    assert data[i + 4] == 3  # interleaved 3-component scan as encoded
-    new_seg = bytes([1]) + bytes(data[i + 5 : i + 7]) + bytes(data[i + 4 + seglen - 3 : i + 4 + seglen])
-    patched = bytes(data[: i + 2]) + (len(new_seg) + 2).to_bytes(2, "big") + new_seg + bytes(data[i + 4 + seglen :])
-    with pytest.raises(UnsupportedImageError, match="multi-scan"):
-        decode_jpeg(patched)
+    multi = encode_jpeg_multiscan(img, quality=85)
+    assert multi.count(b"\xff\xda") == 3  # three single-component scans
+    assert np.array_equal(
+        decode_jpeg(multi), decode_jpeg(encode_jpeg(img, quality=85))
+    )
