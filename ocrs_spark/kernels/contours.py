@@ -116,55 +116,108 @@ def _component_runs(mask: np.ndarray):
     return runs_by_label, h, w
 
 
-def _trace_on_grid(grid: list[list[bool]], sx: int, sy: int, max_steps: int) -> list[tuple[int, int]]:
+def _ring_index(dx: int, dy: int) -> int:
+    for i, (mx, my) in enumerate(_MOORE):
+        if (mx, my) == (dx, dy):
+            return i
+    raise ValueError((dx, dy))
+
+
+def _build_trace_table():
+    """Transition table for table-driven Moore tracing: for (backtrack
+    direction, 8-bit neighborhood mask) precompute the full step — the
+    clockwise scan from the backtrack, the move to the first foreground
+    neighbor, and the new backtrack direction (toward the last
+    background cell examined). Encodes exactly the scan the loop in the
+    pre-table implementation performed, so traces are bit-identical."""
+    table = [[None] * 256 for _ in range(8)]
+    for bdir in range(8):
+        for nb in range(256):
+            step = None
+            for k in range(1, 9):
+                d = (bdir + k) & 7
+                if nb & (1 << d):
+                    dx, dy = _MOORE[d]
+                    # Last background examined: ring slot before the hit
+                    # (for k == 1 that's the old backtrack itself, which
+                    # the scan has not moved past — same as the loop
+                    # leaving bx,by untouched).
+                    pbx, pby = _MOORE[(bdir + k - 1) & 7]
+                    step = (dx, dy, _ring_index(pbx - dx, pby - dy))
+                    break
+            table[bdir][nb] = step  # None = isolated pixel
+    return table
+
+
+_TRACE_TABLE = _build_trace_table()
+
+
+def _neighbor_bits(crop: np.ndarray) -> bytes:
+    """Flat row-major uint8 mask per cell: bit i set iff the Moore
+    neighbor i is foreground. Pure slice arithmetic (no per-cell Python
+    objects); crop carries a 1-pixel False border."""
+    g = crop.view(np.uint8) if crop.dtype == bool else crop.astype(np.uint8)
+    h, w = g.shape
+    nb = np.zeros((h, w), np.uint8)
+    for i, (dx, dy) in enumerate(_MOORE):
+        ys0, ys1 = max(0, -dy), h - max(0, dy)
+        xs0, xs1 = max(0, -dx), w - max(0, dx)
+        nb[ys0:ys1, xs0:xs1] |= g[ys0 + dy : ys1 + dy, xs0 + dx : xs1 + dx] << i
+    return nb.tobytes()
+
+
+def _trace_on_grid(crop: np.ndarray, sx: int, sy: int, max_steps: int) -> list[tuple[int, int]]:
     """Moore-neighbor tracing (clockwise, Jacob's stopping criterion) on
-    a padded boolean grid (grid[y][x]; a 1-pixel False border makes
-    bounds checks unnecessary). ``(sx, sy)`` is the topmost-leftmost
-    foreground pixel. Returns border pixels (x, y) in traversal order."""
-    moore = _MOORE
-    # Flat (dy+1)*3 + (dx+1) -> ring index table (faster than a dict of
-    # tuples in the per-step loop).
-    delta_dir = [0] * 9
-    for i, (dx, dy) in enumerate(moore):
-        delta_dir[(dy + 1) * 3 + (dx + 1)] = i
-    contour = [(sx, sy)]
+    a padded boolean array (crop[y, x]; 1-pixel False border).
+    ``(sx, sy)`` is the topmost-leftmost foreground pixel. Returns
+    border pixels (x, y) in traversal order.
+
+    The per-step neighbor scan is a single lookup in _TRACE_TABLE keyed
+    by the precomputed (vectorized) neighborhood bitmask — the per-step
+    Python work is one bytes index + one table fetch instead of an
+    8-neighbor scan. Returns an (N, 2) int32 array (flat int appends
+    into array.array beat building N coordinate tuples)."""
+    import array as _array
+
+    nb = _neighbor_bits(crop)
+    w = crop.shape[1]
+    table = _TRACE_TABLE
+    coords = _array.array("i", (sx, sy))
+    push = coords.append
     cx, cy = sx, sy
-    bx, by = sx - 1, sy  # entered the start pixel from the West
-    first_move = None
+    bdir = 0  # entered the start pixel from the West
+    fmx = fmy = -1  # first move (Jacob's stopping criterion)
     for _ in range(max_steps):
-        bdir = delta_dir[(by - cy + 1) * 3 + (bx - cx + 1)]
-        nxt = None
-        for k in range(1, 9):
-            dx, dy = moore[(bdir + k) & 7]
-            nx, ny = cx + dx, cy + dy
-            if grid[ny][nx]:
-                nxt = (nx, ny)
-                break
-            bx, by = nx, ny  # last background cell examined
-        if nxt is None:
-            return contour  # isolated pixel
+        step = table[bdir][nb[cy * w + cx]]
+        if step is None:
+            break  # isolated pixel
+        dx, dy, bdir = step
+        nx, ny = cx + dx, cy + dy
         if cx == sx and cy == sy:
-            if first_move is None:
-                first_move = nxt
-            elif nxt == first_move:
-                return contour  # completed the loop
-        cx, cy = nxt
-        contour.append(nxt)
-    raise RuntimeError("contour tracing did not terminate")
+            if fmx < 0:
+                fmx, fmy = nx, ny
+            elif nx == fmx and ny == fmy:
+                break  # completed the loop
+        cx, cy = nx, ny
+        push(nx)
+        push(ny)
+    else:
+        raise RuntimeError("contour tracing did not terminate")
+    return np.frombuffer(coords, dtype=np.int32).reshape(-1, 2)
 
 
 def trace_outer_contour(labels: np.ndarray, label: int, start: tuple[int, int]) -> list[tuple[int, int]]:
     """Back-compat wrapper: trace one component of a label image."""
-    grid = np.pad(labels == label, 1).tolist()
+    grid = np.pad(labels == label, 1)
     sx, sy = start
     pts = _trace_on_grid(grid, sx + 1, sy + 1, 4 * (labels.size + 8))
-    return [(x - 1, y - 1) for x, y in pts]
+    return [(int(x) - 1, int(y) - 1) for x, y in pts]
 
 
-def find_contours_external(mask: np.ndarray) -> list[list[tuple[int, int]]]:
-    """Outer contour of each 8-connected component, as ordered (x, y)
-    border-pixel lists (counterpart of rten-imageproc find_contours with
-    RetrievalMode::External, used at detection.rs:46).
+def find_contours_external(mask: np.ndarray) -> list[np.ndarray]:
+    """Outer contour of each 8-connected component, as ordered (N, 2)
+    int32 arrays of (x, y) border pixels (counterpart of rten-imageproc
+    find_contours with RetrievalMode::External, used at detection.rs:46).
 
     Each component is traced on its own padded bounding-box crop (built
     from the labeling runs), so cost scales with component perimeter,
@@ -180,67 +233,84 @@ def find_contours_external(mask: np.ndarray) -> list[list[tuple[int, int]]]:
         crop = np.zeros((ch + 2, cw + 2), dtype=bool)
         for y, s, e in runs:
             crop[y - y0 + 1, s - x0 + 1 : e - x0 + 1] = True
-        grid = crop.tolist()
         # Start = topmost-leftmost pixel (raster order of first run).
         sx, sy = runs[0][1] - x0 + 1, 1
-        pts = _trace_on_grid(grid, sx, sy, 4 * ((ch + 2) * (cw + 2) + 8))
-        contours.append([(x + x0 - 1, y + y0 - 1) for x, y in pts])
+        pts = _trace_on_grid(crop, sx, sy, 4 * ((ch + 2) * (cw + 2) + 8))
+        contours.append(pts + np.array([x0 - 1, y0 - 1], dtype=np.int32))
     return contours
 
 
-def simplify_polyline(points: list[tuple[float, float]], eps: float) -> list[tuple[float, float]]:
+def simplify_polyline(points, eps: float) -> np.ndarray:
     """Douglas-Peucker simplification, endpoints kept (counterpart of
-    rten-imageproc simplify_polygon at detection.rs:50)."""
-    if len(points) <= 2:
-        return list(points)
+    rten-imageproc simplify_polygon at detection.rs:50). Accepts a
+    point list or an (N, 2) array; returns an (M, 2) float64 array.
+
+    Pure-Python DP over scalar floats: contours are a few hundred
+    points, where per-call numpy overhead dwarfs the arithmetic. The
+    per-element float ops (sub, mul, abs, divide-by-seg_len, strict >
+    first-max) are the exact IEEE sequence of the vectorized form this
+    replaces, so the kept set is bit-identical."""
     pts = np.asarray(points, dtype=np.float64)
-    keep = np.zeros(len(pts), dtype=bool)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    xs = pts[:, 0].tolist()
+    ys = pts[:, 1].tolist()
+    keep = [False] * n
     keep[0] = keep[-1] = True
-    stack = [(0, len(pts) - 1)]
+    stack = [(0, n - 1)]
     while stack:
         i0, i1 = stack.pop()
         if i1 <= i0 + 1:
             continue
-        p0, p1 = pts[i0], pts[i1]
-        ex, ey = p1[0] - p0[0], p1[1] - p0[1]
+        x0, y0 = xs[i0], ys[i0]
+        ex, ey = xs[i1] - x0, ys[i1] - y0
         seg_len = math.hypot(ex, ey)
-        mid = pts[i0 + 1 : i1]
+        best = -1.0
+        bi = -1
         if seg_len == 0:
-            d = np.hypot(mid[:, 0] - p0[0], mid[:, 1] - p0[1])
+            for j in range(i0 + 1, i1):
+                d = math.hypot(xs[j] - x0, ys[j] - y0)
+                if d > best:
+                    best, bi = d, j
         else:
-            d = np.abs(ex * (mid[:, 1] - p0[1]) - ey * (mid[:, 0] - p0[0])) / seg_len
-        k = int(np.argmax(d))
-        if d[k] > eps:
-            j = i0 + 1 + k
-            keep[j] = True
-            stack.append((i0, j))
-            stack.append((j, i1))
-    return [tuple(p) for p in pts[keep]]
+            for j in range(i0 + 1, i1):
+                d = abs(ex * (ys[j] - y0) - ey * (xs[j] - x0)) / seg_len
+                if d > best:
+                    best, bi = d, j
+        if best > eps:
+            keep[bi] = True
+            stack.append((i0, bi))
+            stack.append((bi, i1))
+    return pts[keep]
 
 
 def convex_hull(points) -> np.ndarray:
     """Andrew monotone chain. Returns hull points (x, y) CCW in image
-    coords (y down), shape (m, 2) float64."""
-    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
-    if len(pts) <= 2:
-        return pts
-    # Sorted by x then y (np.unique sorts rows lexicographically).
+    coords (y down), shape (m, 2) float64. Pure-Python over scalar
+    floats (inputs are simplified contours of a handful of points where
+    numpy per-call overhead dominates); dedup + lexicographic sort
+    matches np.unique's row ordering."""
+    pts = np.asarray(points, dtype=np.float64)
+    uniq = sorted(set(map(tuple, pts.tolist())))
+    if len(uniq) <= 2:
+        return np.asarray(uniq, dtype=np.float64).reshape(-1, 2)
 
-    def half(iterable):
+    def half(seq):
         out = []
-        for p in iterable:
+        for px, py in seq:
             while len(out) >= 2:
                 ox, oy = out[-2]
                 ax, ay = out[-1]
-                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                if (ax - ox) * (py - oy) - (ay - oy) * (px - ox) <= 0:
                     out.pop()
                 else:
                     break
-            out.append((p[0], p[1]))
+            out.append((px, py))
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(uniq)
+    upper = half(uniq[::-1])
     return np.asarray(lower[:-1] + upper[:-1])
 
 
@@ -263,33 +333,52 @@ def min_area_rect(points) -> RotatedRect | None:
         rr = RotatedRect((x0 + x1) / 2, (y0 + y1) / 2, ux, uy, length, 0.0)
         return rr.orient_towards(0.0, -1.0)
 
-    # All caliper edges evaluated at once: project every hull point on
-    # every edge direction (hulls are tiny, the m x m matrices are
-    # cheap) and take the first minimal-area edge — float math and
-    # tie-breaking identical to the per-edge loop this replaces.
-    nxt = np.roll(hull, -1, axis=0)
-    evec = nxt - hull
-    elen = np.hypot(evec[:, 0], evec[:, 1])
-    valid = elen > 0
-    e = evec[valid] / elen[valid, None]  # unit edge dirs (k, 2)
-    p = np.stack([-e[:, 1], e[:, 0]], axis=1)  # perpendiculars
-    # Explicit mul+add (not matmul): BLAS dot may fuse FMA and round
-    # differently; this keeps results bit-identical to the scalar loop.
-    x, y = hull[:, 0][:, None], hull[:, 1][:, None]
-    proj_e = x * e[:, 0][None, :] + y * e[:, 1][None, :]  # (m points, k edges)
-    proj_p = x * p[:, 0][None, :] + y * p[:, 1][None, :]
-    emax, emin = proj_e.max(axis=0), proj_e.min(axis=0)
-    pmax, pmin = proj_p.max(axis=0), proj_p.min(axis=0)
-    ws = emax - emin
-    hs = pmax - pmin
-    i = int(np.argmin(ws * hs))  # first minimum, like the strict < loop
-    ce = (emax[i] + emin[i]) / 2
-    cp = (pmax[i] + pmin[i]) / 2
-    ex, ey = e[i]
-    px, py = p[i]
+    # Rotating calipers over the (tiny) hull in pure Python: project
+    # every hull point on every edge direction and take the first
+    # minimal-area edge. Same elementwise IEEE mul+add as the
+    # vectorized form this replaces (no FMA/matmul), so results are
+    # bit-identical; at hull sizes of 4-10 points the scalar loop beats
+    # the ~15 numpy calls it replaces.
+    hx = hull[:, 0].tolist()
+    hy = hull[:, 1].tolist()
+    m = len(hx)
+    best_area = None
+    best = None
+    for a in range(m):
+        b = (a + 1) % m
+        evx, evy = hx[b] - hx[a], hy[b] - hy[a]
+        # np.hypot, not math.hypot: they can differ in the last ulp and
+        # the unit-vector rounding must match the prior vectorized form.
+        elen = float(np.hypot(evx, evy))
+        if elen == 0:
+            continue
+        uex, uey = evx / elen, evy / elen
+        upx, upy = -uey, uex
+        emin = emax = hx[0] * uex + hy[0] * uey
+        pmin = pmax = hx[0] * upx + hy[0] * upy
+        for j in range(1, m):
+            pe = hx[j] * uex + hy[j] * uey
+            pp = hx[j] * upx + hy[j] * upy
+            if pe < emin:
+                emin = pe
+            elif pe > emax:
+                emax = pe
+            if pp < pmin:
+                pmin = pp
+            elif pp > pmax:
+                pmax = pp
+        area = (emax - emin) * (pmax - pmin)
+        if best_area is None or area < best_area:
+            best_area = area
+            best = (uex, uey, upx, upy, emin, emax, pmin, pmax)
+    ex, ey, px, py, emin_, emax_, pmin_, pmax_ = best
+    ws_i = emax_ - emin_
+    hs_i = pmax_ - pmin_
+    ce = (emax_ + emin_) / 2
+    cp = (pmax_ + pmin_) / 2
     # Width along the edge direction; height along perpendicular.
     # Up axis = the axis along "height", pointing up-ish.
-    rr = RotatedRect(ce * ex + cp * px, ce * ey + cp * py, px, py, ws[i], hs[i])
+    rr = RotatedRect(ce * ex + cp * px, ce * ey + cp * py, px, py, ws_i, hs_i)
     # Normalize: make the up axis the one closest to vertical, and point
     # it towards (0, -1) (mirrors orient_towards usage,
     # text_items.rs:26-29).

@@ -33,7 +33,7 @@ def find_connected_component_rects(
 ) -> list[RotatedRect]:
     rects = []
     for contour in find_contours_external(mask):
-        pts = simplify_polyline([(float(x), float(y)) for x, y in contour], 2.0)
+        pts = simplify_polyline(contour, 2.0)
         rect = min_area_rect(pts)
         if rect is None:
             continue

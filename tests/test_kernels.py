@@ -143,16 +143,15 @@ def test_find_contours_rect():
     mask = np.zeros((10, 10), dtype=bool)
     mask[2:5, 3:8] = True
     (contour,) = find_contours_external(mask)
-    xs = [p[0] for p in contour]
-    ys = [p[1] for p in contour]
-    assert min(xs) == 3 and max(xs) == 7 and min(ys) == 2 and max(ys) == 4
+    xs, ys = contour[:, 0], contour[:, 1]
+    assert xs.min() == 3 and xs.max() == 7 and ys.min() == 2 and ys.max() == 4
     # Border length of a 3x5 rect = 2*(3+5) - 4 = 12 pixels.
-    assert len(set(contour)) == 12
+    assert len(np.unique(contour, axis=0)) == 12
 
 
 def test_simplify_polyline():
     pts = [(0.0, 0.0), (5.0, 0.1), (10.0, 0.0)]
-    assert simplify_polyline(pts, 2.0) == [(0.0, 0.0), (10.0, 0.0)]
+    assert np.array_equal(simplify_polyline(pts, 2.0), [(0.0, 0.0), (10.0, 0.0)])
     assert len(simplify_polyline(pts, 0.01)) == 3
 
 
