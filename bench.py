@@ -325,11 +325,18 @@ def _capacity_snapshot() -> dict:
     lo, hi = OCR_SCALE_CORES
     foot = hi * 2
     cap_lo = host_parallel_capacity(lo)
+    cap_hi = host_parallel_capacity(hi)
     cap_foot = host_parallel_capacity(foot)
     return {
         f"procs{lo}": round(cap_lo, 3),
+        f"procs{hi}": round(cap_hi, 3),
         f"procs{foot}": round(cap_foot, 3),
+        # Full-footprint ratio (lo vs 2*hi threads busy) AND the plain
+        # lo-vs-hi ratio — both are reported so the normalization
+        # methodology is visible and comparable across rounds (the
+        # round-1 artifact normalized by the lo-vs-hi ratio).
         "capacity_ratio": round(cap_foot / ((foot / lo) * cap_lo), 3),
+        "capacity_ratio_hi": round(cap_hi / ((hi / lo) * cap_lo), 3),
     }
 
 
@@ -372,39 +379,64 @@ def run_scaling_probe() -> dict:
     so degraded-window numbers are never committed while a healthy
     window was available."""
     best = None
+    rounds_log = []  # EVERY round's raw numbers, kept in the artifact
     t_start = time.perf_counter()
+
+    def _round_summary(out, cap, round_i, skipped=False):
+        lo, hi = OCR_SCALE_CORES
+        row = {"round": round_i, "host_capacity": cap, "skipped_degraded": skipped}
+        if out is not None:
+            row.update(
+                {
+                    f"local{lo}_img_s": out[f"local{lo}"]["images_per_sec"],
+                    f"local{hi}_img_s": out[f"local{hi}"]["images_per_sec"],
+                    "scaling_efficiency": out["scaling_efficiency"],
+                }
+            )
+        return row
+
+    def _finalize(out, cap):
+        out["host_capacity"] = cap
+        out["engine_mp_scaling"] = engine_mp_scaling()
+        # Normalized by the full-footprint capacity ratio AND by the
+        # plain lo-vs-hi ratio (the round-1 methodology) — both shown,
+        # so methodology changes never masquerade as engine gains.
+        out["scaling_efficiency_host_normalized"] = round(
+            min(out["scaling_efficiency"] / max(cap["capacity_ratio"], 1e-9), 1.0), 3
+        )
+        out["scaling_efficiency_host_normalized_hi"] = round(
+            min(
+                out["scaling_efficiency"] / max(cap.get("capacity_ratio_hi", 1e-9), 1e-9),
+                1.0,
+            ),
+            3,
+        )
+        out["all_rounds"] = rounds_log
+        return out
+
     for round_i in range(SCALE_PROBE_ROUNDS):
         if best is not None and time.perf_counter() - t_start > SCALE_TIME_BUDGET_SEC:
             break
         cap = _capacity_snapshot()
         if cap["capacity_ratio"] < HEALTHY_CAPACITY and round_i < SCALE_PROBE_ROUNDS - 1:
+            rounds_log.append(_round_summary(None, cap, round_i, skipped=True))
             time.sleep(HEALTHY_WAIT_SEC)  # degraded window: wait one out
             continue
         out = _probe_once()
-        out["host_capacity"] = cap
         out["probe_round"] = round_i
-        out["engine_mp_scaling"] = engine_mp_scaling()
-        out["scaling_efficiency_host_normalized"] = round(
-            min(out["scaling_efficiency"] / max(cap["capacity_ratio"], 1e-9), 1.0), 3
-        )
+        out["probe_capacity"] = cap
+        rounds_log.append(_round_summary(out, cap, round_i))
         if best is None or out["scaling_efficiency"] > best["scaling_efficiency"]:
             best = out
         if best["scaling_efficiency"] >= TARGET_EFFICIENCY:
             break
     if best is None:  # every window was degraded; probe anyway, record the bound
+        cap = _capacity_snapshot()
         best = _probe_once()
-        best["host_capacity"] = _capacity_snapshot()
         best["probe_round"] = SCALE_PROBE_ROUNDS
-        best["engine_mp_scaling"] = engine_mp_scaling()
-        best["scaling_efficiency_host_normalized"] = round(
-            min(
-                best["scaling_efficiency"]
-                / max(best["host_capacity"]["capacity_ratio"], 1e-9),
-                1.0,
-            ),
-            3,
-        )
-    return best
+        best["probe_capacity"] = cap
+        rounds_log.append(_round_summary(best, cap, SCALE_PROBE_ROUNDS))
+    return _finalize(best, best["probe_capacity"])
 
 
 def write_bench_md(sf_dir: str, timings: dict, ocr: dict) -> None:
@@ -439,13 +471,19 @@ def write_bench_md(sf_dir: str, timings: dict, ocr: dict) -> None:
     lines += [
         "",
         f"**Scaling efficiency ({OCR_SCALE_CORES[0]} -> {OCR_SCALE_CORES[1]} cores): "
-        f"{ocr['scaling_efficiency']}** (raw); "
-        f"**{ocr.get('scaling_efficiency_host_normalized', 'n/a')}** normalized by the "
-        f"host's own parallel-capacity ratio {cap.get('capacity_ratio', 'n/a')} measured "
-        "alongside the probe (pure-CPU multiprocessing at the probe's full thread "
-        "footprint — the VM is oversubscribed and time-varying; the raw ratio is "
+        f"{ocr['scaling_efficiency']}** (raw); normalized "
+        f"**{ocr.get('scaling_efficiency_host_normalized', 'n/a')}** by the host's "
+        f"full-footprint capacity ratio {cap.get('capacity_ratio', 'n/a')} "
+        f"(2*hi busy threads) and **{ocr.get('scaling_efficiency_host_normalized_hi', 'n/a')}** "
+        f"by the plain {OCR_SCALE_CORES[0]}-vs-{OCR_SCALE_CORES[1]} capacity ratio "
+        f"{cap.get('capacity_ratio_hi', 'n/a')} (the round-1 methodology) — both "
+        "reported so the normalization change is visible round-over-round. The "
+        "capacity snapshots are pure-CPU multiprocessing measured alongside the "
+        "probe (the VM is oversubscribed and time-varying; the raw ratio is "
         "bounded by it for any engine). Each probe JVM is capped with "
-        "-XX:ActiveProcessorCount so its GC/JIT/shuffle pools match the probe size.",
+        "-XX:ActiveProcessorCount so its GC/JIT/shuffle pools match the probe "
+        f"size. Every probe round's raw numbers (including degraded windows "
+        f"skipped): {json.dumps(ocr.get('all_rounds', []))}",
         "",
         f"Engine-kernel scaling via plain multiprocessing (no JVM/Arrow), same window: "
         f"{mp.get(f'procs{OCR_SCALE_CORES[0]}', 'n/a')} -> "
