@@ -40,6 +40,11 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q7_volume_shipping",
     "q19_discounted_revenue",
+    "q10_returned_items",
+    "q12_ship_delay_priority",
+    "q16_supplier_part_counts",
+    "q20_promo_part_suppliers",
+    "q22_idle_balances",
     "window_topk_orders_per_customer",
     "events_tumbling_window",
     "explode_token_counts",

@@ -633,6 +633,189 @@ FROM session_aggs
 """
 
 
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    one quarter — 4-way join (two broadcastable dims), agg, then
+    deterministic top-20 via orderBy+limit (TakeOrderedAndProject, not
+    a single-reducer window)."""
+    cust, orders, li, nation = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_ship_delay_priority(spark, sf_dir):
+    """TPC-H Q12 shape: bucket lineitems by ship delay (days from order
+    to ship date, tz-independent timestampdiff) and count high- vs
+    low-priority orders per bucket with conditional aggregation."""
+    orders, li = load_tables(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    delay = F.expr("timestampdiff(DAY, o_orderdate, l_shipdate)")
+    bucket = (
+        F.when(delay <= 30, "fast")
+        .when(delay <= 60, "normal")
+        .otherwise("late")
+    )
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(bucket.alias("delay_bucket"), high.alias("high"))
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("high").alias("high_line_count"),
+            F.sum(1 - F.col("high")).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN 'normal'
+            ELSE 'late' END AS delay_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY delay_bucket
+"""
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand, size) over
+    the distinct part-supplier pairs observed in lineitem (the schema's
+    partsupp analogue), excluding one brand and an anti-joined supplier
+    blacklist (low account balance standing in for complaints)."""
+    li, part, supp = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 1000).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_brand") != "Brand#45")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#45'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_size
+"""
+
+
+def q20_promo_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who shipped more than a threshold
+    quantity of PROMO parts — correlated quantity aggregate reduced to
+    a grouped aggregate + semi join back to the supplier dimension."""
+    li, part, supp, nation = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    promo_qty = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_type") == "PROMO")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+        .filter(F.col("promo_qty") > 50)
+    )
+    return (
+        supp.join(
+            promo_qty, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 50
+)
+"""
+
+
+def q22_idle_balances(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no URGENT orders — scalar aggregate (broadcast single row)
+    feeding a filter, anti-join against a filtered orders subset,
+    grouped by a derived segment. (Every synthetic customer has at
+    least one order, so the canonical no-orders predicate would be
+    structurally empty — the urgent-orders variant keeps the same plan
+    shape with a non-vacuous result.)"""
+    cust, orders = load_tables(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntry_seg"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+ORACLE_Q22 = """
+SELECT (c_nationkey % 5) AS cntry_seg, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY cntry_seg
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -645,6 +828,11 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q12_ship_delay_priority": q12_ship_delay_priority,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_promo_part_suppliers": q20_promo_part_suppliers,
+    "q22_idle_balances": q22_idle_balances,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "antijoin_customers_without_orders": antijoin_customers_without_orders,
     "events_metrics_agg": events_metrics_agg,
@@ -666,6 +854,11 @@ ORACLES = {
     "q17_small_quantity_revenue": ORACLE_Q17,
     "q7_volume_shipping": ORACLE_Q7,
     "q19_discounted_revenue": ORACLE_Q19,
+    "q10_returned_items": ORACLE_Q10,
+    "q12_ship_delay_priority": ORACLE_Q12,
+    "q16_supplier_part_counts": ORACLE_Q16,
+    "q20_promo_part_suppliers": ORACLE_Q20,
+    "q22_idle_balances": ORACLE_Q22,
     "window_topk_orders_per_customer": ORACLE_WINDOW_TOPK,
     "antijoin_customers_without_orders": ORACLE_ANTIJOIN,
     "events_metrics_agg": ORACLE_EVENTS_METRICS,
