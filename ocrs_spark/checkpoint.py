@@ -94,6 +94,11 @@ class _PosixIO:
         except FileNotFoundError:
             pass
 
+    def delete_dir(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
     def publish_exclusive(self, src: str, dst: str) -> bool:
         """Atomically publish src as dst iff dst does not exist.
 
@@ -154,6 +159,9 @@ class _HadoopIO:
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), False)
+
+    def delete_dir(self, path: str) -> None:
+        self._fs.delete(self._p(path), True)
 
     def publish_exclusive(self, src: str, dst: str) -> bool:
         """Publish src as dst iff dst does not exist.
@@ -295,6 +303,52 @@ class DocumentCheckpoint:
         raise IOError(
             f"checkpoint commit lost {32} consecutive manifest races at {self.root}"
         )
+
+
+    # ------------------------------------------------------- maintenance
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Rewrite the committed table into ONE data/ledger run and
+        publish a single-snapshot manifest (the Iceberg
+        rewrite_data_files + expire_snapshots maintenance pair): at
+        corpus scale an append-per-run table accretes many small runs,
+        and both read_result (one scan per run) and resume pruning (one
+        ledger scan per run) degrade. Readers are never disrupted — the
+        rewrite lands under a fresh run_id first and becomes visible
+        via the same CAS manifest publish as commit(); a concurrent
+        commit that wins the version race simply makes this compaction
+        retry on top of the newly committed state. The superseded run
+        directories are removed only after the new manifest is live
+        (crash in between leaks directories but never loses data)."""
+        fs = self._fs(spark)
+        for _ in range(8):
+            version, snapshots = self._current_manifest(fs)
+            if len(snapshots) <= 1:
+                return snapshots[0] if snapshots else {}
+            old_runs = [s["run_id"] for s in snapshots]
+            run_id = uuid.uuid4().hex[:12]
+            data_path = self._join("data", run_id)
+            ledger_path = self._join("ledger", run_id)
+            self.read_result(spark).write.parquet(data_path)
+            spark.read.parquet(data_path).select(
+                "doc_id"
+            ).distinct().write.parquet(ledger_path)
+            snapshot = {
+                "snapshot_id": len(snapshots) + 1,
+                "run_id": run_id,
+                "committed_at": time.time(),
+                "metrics": {"compacted_runs": len(old_runs)},
+            }
+            if self._publish_manifest(fs, version + 1, [snapshot], run_id):
+                for rid in old_runs:
+                    fs.delete_dir(self._join("data", rid))
+                    fs.delete_dir(self._join("ledger", rid))
+                return snapshot
+            # Lost the race to a concurrent commit: drop our rewrite and
+            # retry over the new state.
+            fs.delete_dir(data_path)
+            fs.delete_dir(ledger_path)
+        raise IOError(f"compaction lost 8 consecutive manifest races at {self.root}")
 
 
 def run_checkpointed(

@@ -1,43 +1,70 @@
 """Driver-checkable rows for the Structured Streaming operators.
 
-``stream_sessionize_closed`` actually RUNS the stateful
-``applyInPandasWithState`` sessionizer (ocrs_spark.streaming, the
-streaming counterpart of the reference's batch orchestration — see
-SURVEY.md §2.6) as an availableNow stream over the events table, then
-exposes the emitted closed sessions as a plain DataFrame. Its oracle is
-the batch sessionization restricted to closed sessions (every session
-except each user's trailing one, which stays open in streaming state),
-so the driver's value-hash compare covers the custom stateful operator
-end-to-end instead of pytest-only.
+These rows actually RUN the streams (availableNow triggers draining the
+staged events table into memory sinks) and expose the sink contents as
+plain DataFrames, so the driver's value-hash compare covers the
+streaming operators end-to-end instead of pytest-only:
+
+- ``stream_sessionize_closed``: the stateful ``applyInPandasWithState``
+  sessionizer (ocrs_spark.streaming; SURVEY.md §2.6). Oracle = batch
+  sessionization restricted to closed sessions (every session except
+  each user's trailing one, which stays open in streaming state).
+- ``stream_tumbling_agg``: the watermarked tumbling-window aggregation.
+  Oracle = the batch ORACLE_TUMBLING (availableNow drains everything,
+  so no window is dropped by the watermark).
 """
 
 from __future__ import annotations
 
-from .relational import SESSIONS_CTE
+from .relational import ORACLE_TUMBLING, SESSIONS_CTE
 
-# (applicationId, sf_dir) -> memory-sink table name of a completed run.
+# (applicationId, sf_dir, kind) -> memory-sink table name of a run.
 _DONE: dict = {}
+
+
+def _staged_events_run(spark, sf_dir, kind, runner):
+    """Stage events.parquet into a directory (the file stream source
+    requires one) and run ``runner(events_dir, ckpt_dir, sink_name)``
+    once per (session, sf_dir); return the memory-sink table."""
+    import tempfile
+    import uuid
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    name = _DONE.get(key)
+    if name is None:
+        name = f"{kind}_" + uuid.uuid4().hex[:8]
+        base = tempfile.mkdtemp(prefix=f"ocrs_stream_{kind}_")
+        events_dir = f"{base}/events"
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
+        runner(events_dir, f"{base}/ckpt", name)
+        _DONE[key] = name
+    return spark.table(name)
 
 
 def stream_sessionize_closed(spark, sf_dir):
     """Closed sessions emitted by the streaming sessionizer
     (user_id, session_start, session_end, n_events, sum_value)."""
-    import tempfile
-    import uuid
-
     from ocrs_spark.streaming import stream_sessionize_events
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    name = _DONE.get(key)
-    if name is None:
-        name = "closed_sessions_" + uuid.uuid4().hex[:8]
-        base = tempfile.mkdtemp(prefix="ocrs_stream_sess_")
-        # The file stream source requires a directory; stage the table.
-        events_dir = f"{base}/events"
-        spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(events_dir)
-        stream_sessionize_events(spark, events_dir, f"{base}/ckpt", name)
-        _DONE[key] = name
-    return spark.table(name)
+    return _staged_events_run(
+        spark,
+        sf_dir,
+        "closed_sessions",
+        lambda ev, ck, name: stream_sessionize_events(spark, ev, ck, name),
+    )
+
+
+def stream_tumbling_agg(spark, sf_dir):
+    """Hourly windowed counts/sums emitted by the watermarked streaming
+    aggregation (window_start, event_type, n_events, sum_value)."""
+    from ocrs_spark.streaming import stream_events_tumbling
+
+    return _staged_events_run(
+        spark,
+        sf_dir,
+        "stream_tumbling",
+        lambda ev, ck, name: stream_events_tumbling(spark, ev, ck, name),
+    )
 
 
 ORACLE_STREAM_SESSIONIZE = f"""
@@ -53,8 +80,10 @@ WHERE session_idx < last_idx
 
 QUERIES = {
     "stream_sessionize_closed": stream_sessionize_closed,
+    "stream_tumbling_agg": stream_tumbling_agg,
 }
 
 ORACLES = {
     "stream_sessionize_closed": ORACLE_STREAM_SESSIONIZE,
+    "stream_tumbling_agg": ORACLE_TUMBLING,
 }

@@ -170,11 +170,61 @@ FROM ranked WHERE rn <= {_FINGERPRINT_K} GROUP BY doc_id
 """
 
 
+
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per document by TF-IDF (tf * ln(N / df), rounded to
+    6): the classic training-corpus keyword/feature extraction op. All
+    Catalyst built-ins — explode, two grouped aggregates, a broadcast
+    1-row corpus count, and a per-document window (partitioned by
+    doc_id, so no global funnel at scale)."""
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("tok").alias("term"), "rank", "tfidf")
+    )
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tok, round(tf * ln(n / df), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS term, rank, tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "lang_id_markers": lang_id_markers,
     "quality_score": quality_score,
     "token_counts": token_counts,
     "doc_fingerprint": doc_fingerprint,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
@@ -182,4 +232,5 @@ ORACLES = {
     "quality_score": ORACLE_QUALITY,
     "token_counts": ORACLE_TOKEN_COUNTS,
     "doc_fingerprint": ORACLE_FINGERPRINT,
+    "tfidf_top_terms": ORACLE_TFIDF,
 }

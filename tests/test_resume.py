@@ -152,3 +152,29 @@ def test_legacy_single_manifest_reads_as_version_zero(spark, frames, tmp_path_fa
     assert snap2 is not None and snap2["snapshot_id"] == 2
     assert (root / "manifest-1.json").exists()
     assert ckpt.read_result(spark).count() == docs.count()
+
+
+def test_compaction_preserves_table_and_resume(spark, frames, tmp_path_factory):
+    """compact() rewrites N committed runs into one snapshot: the table
+    contents and resume pruning are unchanged, superseded run dirs are
+    removed, and the manifest history is replaced by a single visible
+    snapshot (rewrite_data_files + expire_snapshots semantics)."""
+    docs, media, expected = frames
+    root = tmp_path_factory.mktemp("ckpt_compact")
+    ckpt = DocumentCheckpoint(str(root))
+    run_checkpointed(docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0), media, ckpt)
+    run_checkpointed(docs, media, ckpt)
+    before = spans_as_tuples(ckpt.read_result(spark))
+    assert len(ckpt.snapshots()) == 2
+    assert len(list((root / "data").iterdir())) == 2
+
+    snap = ckpt.compact(spark)
+    assert snap["metrics"]["compacted_runs"] == 2
+    assert [s["run_id"] for s in ckpt.snapshots()] == [snap["run_id"]]
+    assert len(list((root / "data").iterdir())) == 1
+    assert len(list((root / "ledger").iterdir())) == 1
+    assert spans_as_tuples(ckpt.read_result(spark)) == before
+    # Resume over the compacted table: nothing left to do.
+    assert run_checkpointed(docs, media, ckpt) is None
+    # Idempotent on a single-snapshot table.
+    assert ckpt.compact(spark)["run_id"] == snap["run_id"]
