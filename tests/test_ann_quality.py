@@ -109,3 +109,28 @@ def test_embedding_cosine_driver_row_recovers_planted_pairs(spark, duck):
     assert got == {(i, i + PLANT_OFFSET) for i in range(PLANT_N)}
     assert all(0.9 <= r["cos"] < 1.0 for r in rows)
     assert len(duck.sql(ORACLE_EMB_COSINE).fetchall()) == PLANT_N
+
+
+def test_vectorized_buckets_match_expression_form(spark):
+    """The numpy matmul bucketing (banded_buckets) must agree
+    bucket-for-bucket with the expression form whose per-plane
+    aggregate() lambda is the same sequential fold as the DuckDB
+    oracles — the guard that protects oracle parity against
+    summation-order sign flips near zero projections."""
+    from ocrs_spark.ops.dedup import EMB_LSH_BANDS, EMB_LSH_ROWS, EMB_PLANE_BASE
+    from ocrs_spark.ops.similarity import (
+        ANN_BAND_PLANE_BASE,
+        ANN_BAND_ROWS,
+        ANN_BANDS_B,
+        banded_buckets,
+        banded_buckets_expr,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for b, r, base in [
+        (EMB_LSH_BANDS, EMB_LSH_ROWS, EMB_PLANE_BASE),
+        (ANN_BANDS_B, ANN_BAND_ROWS, ANN_BAND_PLANE_BASE),
+    ]:
+        fast = set(map(tuple, banded_buckets(emb, b, r, base).collect()))
+        ref = set(map(tuple, banded_buckets_expr(emb, b, r, base).collect()))
+        assert fast == ref
