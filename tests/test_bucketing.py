@@ -66,3 +66,15 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert got == want
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_vectorized_shingles_match_expression_form(spark):
+    """The pandas_udf shingle path must produce byte-identical exploded
+    shingles to the canonical transform() expression form (which is
+    what the DuckDB oracles mirror)."""
+    from ocrs_spark.ops.dedup import shingles_df, shingles_df_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = sorted(map(tuple, shingles_df(docs).collect()))
+    ref = sorted(map(tuple, shingles_df_expr(docs).collect()))
+    assert fast == ref and len(fast) > 0
