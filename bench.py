@@ -59,6 +59,7 @@ HEADLINE = [
     "quality_score",
     "token_counts",
     "doc_fingerprint",
+    "tfidf_top_terms",
     "multimodal_decode_meta",
     "events_sessionize",
     "ann_ivf_topk",

@@ -68,6 +68,7 @@ def main(argv=None) -> int:
     p.add_argument("--text-map", help="write raw text probability map PNG here")
     p.add_argument("--text-mask", help="write thresholded text mask PNG here")
     p.add_argument("--png", help="write annotated PNG (line + word boxes) here")
+    p.add_argument("--webp", help="write annotated lossless WebP here")
     args = p.parse_args(argv)
 
     data = sys.stdin.buffer.read() if args.image == "-" else open(args.image, "rb").read()
@@ -89,12 +90,18 @@ def main(argv=None) -> int:
     lines = engine.find_text_lines(words)
     recognized = engine.recognize_text(grey, lines)
 
-    if args.png:
+    if args.png or args.webp:
         from .output import generate_annotated_image
 
         annotated = generate_annotated_image(img, lines, recognized)
-        with open(args.png, "wb") as f:
-            f.write(encode_png(annotated))
+        if args.png:
+            with open(args.png, "wb") as f:
+                f.write(encode_png(annotated))
+        if args.webp:
+            from .webp import encode_webp
+
+            with open(args.webp, "wb") as f:
+                f.write(encode_webp(annotated))
 
     if args.json:
         out = format_json_output(args.image, grey.shape, recognized)

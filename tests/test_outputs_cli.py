@@ -97,6 +97,8 @@ def test_cli_stdin_json_and_debug_sinks(tmp_path):
             str(mask_path),
             "--png",
             str(png_path),
+            "--webp",
+            str(tmp_path / "annot.webp"),
         ],
         input=encode_rawi(img),
         capture_output=True,
@@ -105,4 +107,9 @@ def test_cli_stdin_json_and_debug_sinks(tmp_path):
     doc = json.loads(r.stdout)
     assert doc["paragraphs"][0]["lines"][0]["text"] == "77"
     assert decode_png(mask_path.read_bytes()).max() == 255
-    assert decode_png(png_path.read_bytes()).shape == img.shape
+    annotated = decode_png(png_path.read_bytes())
+    assert annotated.shape == img.shape
+    # The WebP sink is lossless: identical pixels to the PNG sink.
+    from ocrs_spark.webp import decode_webp
+
+    assert np.array_equal(decode_webp((tmp_path / "annot.webp").read_bytes()), annotated)
