@@ -18,7 +18,8 @@ Encoders: baseline (standard Annex K quantization with IJG quality
 scaling and Annex K Huffman tables, 4:4:4 or 4:2:0), progressive
 (encode_jpeg_progressive: a 5-stage spectral-selection + successive-
 approximation scan script with per-scan frequency-built Huffman
-tables), and multi-scan sequential (encode_jpeg_multiscan) — used for
+tables; 4:4:4, 4:2:0 or greyscale), and multi-scan sequential
+(encode_jpeg_multiscan) — used for
 test fixtures and as the sink-side counterpart (the reference CLI only
 decodes JPEG).
 
@@ -977,14 +978,27 @@ def _component_qcoeffs(img: np.ndarray, quality: int, subsample: bool):
     h, w, nch = img.shape
     qy = _scaled_qtable(_Q_LUMA, quality)
     qc = _scaled_qtable(_Q_CHROMA, quality)
-    if subsample:
-        raise UnsupportedImageError(
-            "progressive encoder supports 4:4:4/greyscale only"
-        )
     if nch == 1:
         comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
         planes = {1: img[:, :, 0].astype(np.float64)}
         qts = {0: qy}
+    elif nch == 3 and subsample:
+        # 4:2:0: pad to MCU multiples first, then 2x2 box-average the
+        # chroma — the same order as the baseline encoder, so the
+        # quantized coefficients are identical between the two.
+        y, cb, cr = _rgb_to_ycbcr(img)
+        y = _pad_to(y, 16, 16)
+        cb = _pad_to(cb, 16, 16)
+        cr = _pad_to(cr, 16, 16)
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
+        comps = [
+            {"id": 1, "h": 2, "v": 2, "tq": 0},
+            {"id": 2, "h": 1, "v": 1, "tq": 1},
+            {"id": 3, "h": 1, "v": 1, "tq": 1},
+        ]
+        planes = {1: y, 2: cb, 3: cr}
+        qts = {0: qy, 1: qc}
     elif nch == 3:
         y, cb, cr = _rgb_to_ycbcr(img)
         comps = [
@@ -1024,8 +1038,10 @@ def _sos_segment(scan_comps, table_ids, ss, se, ah, al) -> bytes:
     return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
-    """Encode a progressive (SOF2) JPEG, 4:4:4 or greyscale.
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Encode a progressive (SOF2) JPEG — greyscale, 4:4:4 or 4:2:0.
 
     Scan script (a realistic spectral-selection + successive-
     approximation ladder, exercising every progressive decode path):
@@ -1037,7 +1053,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     AC Huffman tables are built per scan from actual symbol frequencies
     (Annex K tables lack the EOBn codes progressive needs)."""
     h, w, comps, qcoeffs, qts, mcux, mcuy, hmax, vmax = _component_qcoeffs(
-        img, quality, False
+        img, quality, subsample
     )
 
     out = bytearray(b"\xff\xd8")

@@ -72,6 +72,20 @@ def test_progressive_decodes_identically_to_baseline(shape):
     assert np.array_equal(base, prog)
 
 
+@pytest.mark.parametrize("shape", [(33, 45, 3), (17, 23, 3), (48, 80, 3)])
+def test_progressive_420_decodes_identically_to_baseline(shape):
+    """4:2:0 progressive: the DC scan interleaves 2x2 luma + chroma
+    blocks per MCU while AC scans run over each component's own
+    non-interleaved block raster — decode must be bit-identical to the
+    4:2:0 baseline encoding of the same image."""
+    rng = np.random.default_rng(sum(shape) + 1)
+    g = rng.integers(0, 256, shape[:2], dtype=np.uint8)
+    img = np.stack([g, 255 - g, (g // 2 + 64).astype(np.uint8)], axis=-1)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=85, subsample=True))
+    assert np.array_equal(base, prog)
+
+
 def test_progressive_flat_and_gradient_long_eob_runs():
     flat = np.full((80, 80, 3), 130, np.uint8)
     grad = np.stack([np.tile(np.arange(120, dtype=np.uint8), (90, 1))] * 3, -1)
