@@ -90,3 +90,56 @@ def test_explode_prunes_media_bytes(spark):
     docs, media, _ = corpus_to_spark(spark, generate_corpus(n_docs=4))
     plan = plan_of(explode_spans(docs).filter("kind = 'image'"))
     assert "Generate explode" in plan or "explode" in plan.lower()
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Pre-bucketed tables co-locate their join: both sides bucketed by
+    the join key into the same bucket count join with NO Exchange in
+    the plan — the zero-shuffle join strategy for repeatedly-joined
+    100-TB tables (documents x OCR results on doc_id)."""
+    import uuid
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"bdocs_{suffix}", f"bstats_{suffix}"
+    try:
+        (
+            docs.select("doc_id", "text")
+            .write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(ta)
+        )
+        (
+            docs.selectExpr("doc_id", "length(text) AS n_chars")
+            .write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(tb)
+        )
+        # Force the sort-merge path: at these tiny SFs Spark would
+        # broadcast (and auto-disable the bucketed scan); at the scale
+        # bucketing targets, neither side is broadcastable.
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_auto = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        try:
+            joined = spark.table(ta).join(spark.table(tb), "doc_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+            assert joined.count() == docs.count()
+            # Contrast: the same join over plain parquet shuffles.
+            plain = docs.select("doc_id", "text").join(
+                docs.selectExpr("doc_id", "length(text) AS n_chars"), "doc_id"
+            )
+            assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", old_auto
+            )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
