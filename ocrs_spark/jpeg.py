@@ -205,10 +205,18 @@ class _BitWriter:
                 self.out.append(0x00)
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+    def restart_marker(self, idx: int) -> None:
+        """Byte-align and emit RSTn (markers bypass byte stuffing)."""
+        self.align()
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -830,6 +838,8 @@ def _play_ops(ops, codes, writer) -> None:
         if op[0] == "s":
             c, n = codes[op[1]]
             writer.write(c, n)
+        elif op[0] == "r":
+            writer.restart_marker(op[1])
         else:
             writer.write(op[1], op[2])
 
@@ -842,13 +852,21 @@ def _count_syms(ops) -> dict[int, int]:
     return freq
 
 
-def _dc_first_ops(qcoeffs, comps, mcux, mcuy, al):
+def _dc_first_ops(qcoeffs, comps, mcux, mcuy, al, restart_interval=0):
     """Interleaved DC scan ops per component table class (one op list
-    per component id)."""
+    per component id); RSTn sentinels + DC predictor resets every
+    ``restart_interval`` MCUs."""
     preds = {c["id"]: 0 for c in comps}
     merged: list = []  # (component id, op) in interleaved stream order
+    unit = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and unit and unit % restart_interval == 0:
+                merged.append((None, ("r", rst)))
+                rst = (rst + 1) & 7
+                preds = {c["id"]: 0 for c in comps}
+            unit += 1
             for c in comps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -863,10 +881,16 @@ def _dc_first_ops(qcoeffs, comps, mcux, mcuy, al):
     return merged
 
 
-def _dc_refine_ops(qcoeffs, comps, mcux, mcuy, al):
+def _dc_refine_ops(qcoeffs, comps, mcux, mcuy, al, restart_interval=0):
     merged: list = []
+    unit = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and unit and unit % restart_interval == 0:
+                merged.append((None, ("r", rst)))
+                rst = (rst + 1) & 7
+            unit += 1
             for c in comps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -1039,7 +1063,10 @@ def _sos_segment(scan_comps, table_ids, ss, se, ah, al) -> bytes:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 85, subsample: bool = False
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a progressive (SOF2) JPEG — greyscale, 4:4:4 or 4:2:0.
 
@@ -1064,6 +1091,8 @@ def encode_jpeg_progressive(
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     # DC tables: Annex K (sizes 0..11 are all present).
     out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
     if len(comps) > 1:
@@ -1084,8 +1113,10 @@ def encode_jpeg_progressive(
     # Scan 1: DC first (interleaved, Al=1).
     out += _sos_segment(comps, table_ids, 0, 0, 0, 1)
     bw = _BitWriter()
-    for cid, op in _dc_first_ops(qcoeffs, comps, mcux, mcuy, 1):
-        if op[0] == "s":
+    for cid, op in _dc_first_ops(qcoeffs, comps, mcux, mcuy, 1, restart_interval):
+        if op[0] == "r":
+            bw.restart_marker(op[1])
+        elif op[0] == "s":
             c, n = dc_codes[cid][op[1]]
             bw.write(c, n)
         else:
@@ -1095,8 +1126,11 @@ def encode_jpeg_progressive(
     # Scan 2: DC refine (Ah=1, Al=0) — raw bits only.
     out += _sos_segment(comps, table_ids, 0, 0, 1, 0)
     bw = _BitWriter()
-    for _, op in _dc_refine_ops(qcoeffs, comps, mcux, mcuy, 0):
-        bw.write(op[1], op[2])
+    for _, op in _dc_refine_ops(qcoeffs, comps, mcux, mcuy, 0, restart_interval):
+        if op[0] == "r":
+            bw.restart_marker(op[1])
+        else:
+            bw.write(op[1], op[2])
     out += bw.flush()
 
     # AC scans per component, custom per-scan Huffman table id 0.
@@ -1104,11 +1138,17 @@ def encode_jpeg_progressive(
     for ss, se, ah, al in ac_scans:
         for c in comps:
             blocks = comp_blocks(c)
-            ops = (
-                _ac_refine_ops(blocks, ss, se, al)
-                if ah
-                else _ac_first_ops(blocks, ss, se, al)
-            )
+            fn = _ac_refine_ops if ah else _ac_first_ops
+            if restart_interval:
+                ops = []
+                rst = 0
+                for start in range(0, len(blocks), restart_interval):
+                    if start:
+                        ops.append(("r", rst))
+                        rst = (rst + 1) & 7
+                    ops.extend(fn(blocks[start : start + restart_interval], ss, se, al))
+            else:
+                ops = fn(blocks, ss, se, al)
             bits, vals = _jpeg_huffman_spec(_count_syms(ops))
             out += _dht_segment(1, 0, bits, vals)
             codes = _build_codes(bits, vals)

@@ -86,6 +86,22 @@ def test_progressive_420_decodes_identically_to_baseline(shape):
     assert np.array_equal(base, prog)
 
 
+@pytest.mark.parametrize("subsample,ri", [(False, 3), (True, 4), (False, 1)])
+def test_progressive_restart_intervals(subsample, ri):
+    """Progressive scans with DRI restart markers (byte-aligned RSTn,
+    DC predictor + EOB-run reset at every boundary) decode identically
+    to the unrestarted baseline encoding."""
+    rng = np.random.default_rng(77)
+    g = rng.integers(0, 256, (48, 80), dtype=np.uint8)
+    img = np.stack([g, 255 - g, (g // 2 + 64).astype(np.uint8)], axis=-1)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample=subsample))
+    data = encode_jpeg_progressive(
+        img, quality=85, subsample=subsample, restart_interval=ri
+    )
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    assert np.array_equal(base, decode_jpeg(data))
+
+
 def test_progressive_flat_and_gradient_long_eob_runs():
     flat = np.full((80, 80, 3), 130, np.uint8)
     grad = np.stack([np.tile(np.arange(120, dtype=np.uint8), (90, 1))] * 3, -1)
