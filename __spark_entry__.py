@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ocr_image_span_texts,
         ocr_interleaved_pipeline,
         ocr_text_span_parity,
+        stream_ocr_interleaved,
     )
     from ocrs_spark.ops import all_queries
 
@@ -51,6 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # corrupt spans land in the quarantine table, totals stay golden.
     out["extraction_quarantine"] = extraction_quarantine
     out["extraction_metrics_run"] = extraction_metrics_run
+    # The incremental-OCR stream must reproduce the batch flagship
+    # output exactly (same oracle as ocr_interleaved_pipeline).
+    out["stream_ocr_interleaved"] = stream_ocr_interleaved
     return out
 
 
@@ -70,4 +74,5 @@ def oracle_sql() -> dict[str, str]:
     out["ocr_interleaved_pipeline"] = ORACLE_OCR_INTERLEAVED
     out["extraction_quarantine"] = ORACLE_QUARANTINE
     out["extraction_metrics_run"] = ORACLE_EXTRACTION_METRICS
+    out["stream_ocr_interleaved"] = ORACLE_OCR_INTERLEAVED
     return out

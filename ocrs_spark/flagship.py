@@ -198,15 +198,9 @@ _SPAN_SEP = "~"
 _NULL = "∅"  # ∅ placeholder for NULL media_ref/text
 
 
-def ocr_interleaved_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship end-to-end result, projected to (doc_id, woven): the
-    full woven span array serialized per document so the driver can
-    canonicalize and hash it (nested array<struct> is not hashable by
-    the driver's comparator). The DuckDB oracle reconstructs the exact
-    same string from the flat documents table + the golden fake-model
-    media texts, asserting span order, text pass-through and OCR values
-    in one row per document."""
-    woven = flagship_ocr(spark, sf_dir)
+def serialize_woven(woven: DataFrame) -> DataFrame:
+    """(doc_id, woven): the span array flattened to one deterministic
+    string per document (driver-hashable; the oracle rebuilds it)."""
     span_str = lambda s: F.concat_ws(
         _FIELD_SEP,
         s["kind"],
@@ -218,6 +212,44 @@ def ocr_interleaved_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(F.transform("spans", span_str), _SPAN_SEP).alias("woven"),
     )
+
+
+def ocr_interleaved_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end result, projected to (doc_id, woven): the
+    full woven span array serialized per document so the driver can
+    canonicalize and hash it (nested array<struct> is not hashable by
+    the driver's comparator). The DuckDB oracle reconstructs the exact
+    same string from the flat documents table + the golden fake-model
+    media texts, asserting span order, text pass-through and OCR values
+    in one row per document."""
+    return serialize_woven(flagship_ocr(spark, sf_dir))
+
+
+def stream_ocr_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-OCR STREAM run end-to-end over the same
+    interleaved corpus: documents land in a staged directory, the
+    foreachBatch stream (ocrs_spark.streaming.stream_ocr_documents)
+    explodes/OCRs/reweaves each micro-batch with idempotent per-batch
+    sinks, and the drained output must serialize to exactly the batch
+    flagship oracle — the driver-checked proof that the streaming
+    pipeline produces identical end-to-end results."""
+
+    def build():
+        import tempfile
+
+        from .streaming import stream_ocr_documents
+
+        base = tempfile.mkdtemp(prefix="ocrs_stream_ocr_")
+        docs_dir = f"{base}/docs"
+        _materialized_interleaved(spark, sf_dir).write.parquet(docs_dir)
+        out_dir = f"{base}/out"
+        stream_ocr_documents(
+            spark, docs_dir, flagship_media(spark), f"{base}/ckpt", out_dir
+        )
+        return spark.read.parquet(out_dir).drop("batch_id")
+
+    woven = _materialize_once(spark, sf_dir, "stream_woven", build)
+    return serialize_woven(woven)
 
 
 ORACLE_OCR_INTERLEAVED = f"""

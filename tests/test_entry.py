@@ -33,6 +33,7 @@ def test_entry_runs_and_returns_rows(spark):
         "ocr_interleaved_pipeline",
         "extraction_quarantine",
         "extraction_metrics_run",
+        "stream_ocr_interleaved",
     ],
 )
 def test_flagship_ocr_oracles(spark, name):
