@@ -12,11 +12,11 @@ bundling), color cache, LZ77 backward references with the short-range
 distance map, meta prefix codes, simple and code-length-coded prefix
 codes. Lossy VP8 chunks raise UnsupportedImageError.
 
-Encoder: lossless VP8L with real canonical Huffman literal coding
-(length-limited via package-merge), optional color-indexing with pixel
-bundling (auto for <= 16 distinct colors), optional subtract-green
-transform and color cache. No LZ77 emission (the decoder's LZ77 path is
-exercised by hand-built streams in tests).
+Encoder: lossless VP8L with real canonical Huffman coding
+(length-limited via package-merge), greedy LZ77 emission (horizontal
+runs + copy-row-above, the two distances that dominate rasters),
+optional color-indexing with pixel bundling (auto for <= 16 distinct
+colors), optional subtract-green transform and color cache.
 """
 
 from __future__ import annotations
@@ -251,6 +251,24 @@ def _lz77_value(sym: int, br: _BitReader) -> int:
     extra = (sym - 2) >> 1
     offset = (2 + (sym & 1)) << extra
     return offset + br.read(extra) + 1
+
+
+def _lz77_code(value: int) -> tuple[int, int, int]:
+    """Inverse of _lz77_value: value -> (symbol, extra, extra_bits).
+    Symbol s >= 4 covers (offset, offset + 2^extra] with
+    offset = (2 + (s & 1)) << extra, so the bit count for ``value`` is
+    derived from value - 1 (the top of each range is a power-of-two
+    boundary that belongs to the LOWER bit count)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    bits = (value - 1).bit_length() - 2
+    if value > (3 << bits):
+        sym = 2 * bits + 3
+        extra = value - (3 << bits) - 1
+    else:
+        sym = 2 * bits + 2
+        extra = value - (2 << bits) - 1
+    return sym, extra, bits
 
 
 def _plane_to_dist(plane: int, xsize: int) -> int:
@@ -682,11 +700,26 @@ def _emit(bw: _BitWriter, codes: dict[int, tuple[int, int]], sym: int) -> None:
     bw.write_code(c, n)
 
 
+_MAX_LZ77_LEN = 4096  # spec maximum backward-reference length
+
+
 def _write_entropy_image(
-    bw: _BitWriter, pixels: list[int], cache_bits: int, level0: bool
+    bw: _BitWriter,
+    pixels: list[int],
+    cache_bits: int,
+    level0: bool,
+    width: int = 0,
 ) -> None:
     """Write one entropy-coded image: cache bit, (no meta), 5 prefix
-    codes, then literal/cache-coded pixels."""
+    codes, then LZ77/cache/literal-coded pixels.
+
+    LZ77 emission is a greedy two-candidate matcher: at each position
+    try distance 1 (horizontal runs) and distance ``width`` (copy the
+    row above) and take the longer match when it reaches 3 pixels —
+    the two distances that dominate real rasters, both mapping to
+    1-byte short-range plane codes. The color cache is simulated with
+    the decoder's exact insertion rule (literal AND copied pixels) so
+    cache hits stay in sync."""
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -700,8 +733,45 @@ def _write_entropy_image(
     reds: list[int] = []
     blues: list[int] = []
     alphas: list[int] = []
-    ops: list[tuple[str, int]] = []
-    for px in pixels:
+    dists: list[int] = []
+    ops: list = []
+    n = len(pixels)
+    i = 0
+    while i < n:
+        # Longest match at distance 1 and (if applicable) width.
+        best_len = 0
+        best_dist = 0
+        for dist in (1, width):
+            if dist == 0 or dist > i:
+                continue
+            m = 0
+            limit = min(n - i, _MAX_LZ77_LEN)
+            while m < limit and pixels[i + m] == pixels[i + m - dist]:
+                m += 1
+            if m > best_len:
+                best_len, best_dist = m, dist
+        if best_len >= 3:
+            len_sym, len_extra, len_bits = _lz77_code(best_len)
+            # Plane code: dist 1 -> (1,0) is plane 2; dist width -> (0,1)
+            # is plane 1; anything else -> long form dist+120.
+            if best_dist == 1:
+                plane = 2
+            elif best_dist == width:
+                plane = 1
+            else:
+                plane = best_dist + 120
+            d_sym, d_extra, d_bits = _lz77_code(plane)
+            greens.append(_NUM_LITERALS + len_sym)
+            dists.append(d_sym)
+            ops.append(("m", len_sym, len_extra, len_bits, d_sym, d_extra, d_bits))
+            if cache is not None:
+                for k in range(best_len):
+                    px = pixels[i + k]
+                    cache[_cache_hash(px, cache_bits)] = px
+            i += best_len
+            continue
+        px = pixels[i]
+        i += 1
         if cache is not None:
             hidx = _cache_hash(px, cache_bits)
             if cache[hidx] == px:
@@ -728,13 +798,21 @@ def _write_entropy_image(
     rcodes = _write_prefix_code(bw, freq(reds), _NUM_LITERALS)
     bcodes = _write_prefix_code(bw, freq(blues), _NUM_LITERALS)
     acodes = _write_prefix_code(bw, freq(alphas), _NUM_LITERALS)
-    _write_prefix_code(bw, {0: 1}, _NUM_DISTANCE_CODES)  # unused distances
+    dcodes = _write_prefix_code(bw, freq(dists), _NUM_DISTANCE_CODES)
 
-    for kind, v in ops:
-        if kind == "c":
-            _emit(bw, gcodes, v)
+    for op in ops:
+        if op[0] == "c":
+            _emit(bw, gcodes, op[1])
+        elif op[0] == "m":
+            _, len_sym, len_extra, len_bits, d_sym, d_extra, d_bits = op
+            _emit(bw, gcodes, _NUM_LITERALS + len_sym)
+            if len_bits:
+                bw.write(len_extra, len_bits)
+            _emit(bw, dcodes, d_sym)
+            if d_bits:
+                bw.write(d_extra, d_bits)
         else:
-            a, r, gch, b = _channels(v)
+            a, r, gch, b = _channels(op[1])
             _emit(bw, gcodes, gch)
             _emit(bw, rcodes, r)
             _emit(bw, bcodes, b)
@@ -789,7 +867,7 @@ def encode_webp(
         deltas = [palette[0]] + [
             _sub_px(palette[i], palette[i - 1]) for i in range(1, psize)
         ]
-        _write_entropy_image(bw, deltas, 0, level0=False)
+        _write_entropy_image(bw, deltas, 0, level0=False, width=psize)
         if psize <= 2:
             wb = 3
         elif psize <= 4:
@@ -810,7 +888,7 @@ def encode_webp(
                 )
         pixels = [0xFF000000 | (gch << 8) for gch in packed]
         bw.write(0, 1)  # end of transforms
-        _write_entropy_image(bw, pixels, cache_bits, level0=True)
+        _write_entropy_image(bw, pixels, cache_bits, level0=True, width=packed_w)
     else:
         if subtract_green:
             bw.write(1, 1)
@@ -822,7 +900,7 @@ def encode_webp(
                 for px in argb
             ]
         bw.write(0, 1)  # end of transforms
-        _write_entropy_image(bw, argb, cache_bits, level0=True)
+        _write_entropy_image(bw, argb, cache_bits, level0=True, width=w)
 
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
