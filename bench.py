@@ -45,6 +45,7 @@ HEADLINE = [
     "q16_supplier_part_counts",
     "q20_promo_part_suppliers",
     "q22_idle_balances",
+    "q2_best_supplier",
     "window_topk_orders_per_customer",
     "events_tumbling_window",
     "explode_token_counts",

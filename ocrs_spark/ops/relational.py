@@ -816,6 +816,49 @@ GROUP BY cntry_seg
 """
 
 
+def q2_best_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the best supplier by
+    the correlated-min criterion — distinct part-supplier pairs from
+    lineitem (the schema's partsupp analogue) joined to broadcast dims,
+    ranked per part with a window (partitioned by part key, so no
+    global funnel) and kept at rank 1. s_acctbal stands in for
+    ps_supplycost (the synthetic schema carries no supply cost)."""
+    li, part, supp, nation = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        ps.join(
+            F.broadcast(part.filter(F.col("p_size") < 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
+    )
+
+
+ORACLE_Q2 = """
+SELECT p_partkey, p_brand, s_name, s_acctbal, n_name
+FROM (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_size < 10
+)
+WHERE rank = 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -833,6 +876,7 @@ QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_promo_part_suppliers": q20_promo_part_suppliers,
     "q22_idle_balances": q22_idle_balances,
+    "q2_best_supplier": q2_best_supplier,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "antijoin_customers_without_orders": antijoin_customers_without_orders,
     "events_metrics_agg": events_metrics_agg,
@@ -859,6 +903,7 @@ ORACLES = {
     "q16_supplier_part_counts": ORACLE_Q16,
     "q20_promo_part_suppliers": ORACLE_Q20,
     "q22_idle_balances": ORACLE_Q22,
+    "q2_best_supplier": ORACLE_Q2,
     "window_topk_orders_per_customer": ORACLE_WINDOW_TOPK,
     "antijoin_customers_without_orders": ORACLE_ANTIJOIN,
     "events_metrics_agg": ORACLE_EVENTS_METRICS,
