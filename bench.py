@@ -208,10 +208,24 @@ def build_ocr_corpus(spark, n_media: int = OCR_BENCH_MEDIA, n_docs: int = OCR_BE
     return docs, media, n_images, n_spans
 
 
+def _pin_to_cpus(n: int) -> list[int]:
+    """Pin this process (and the JVM + Python workers it spawns, which
+    inherit the affinity mask) to exactly ``n`` CPUs. This is the honest
+    model of 'an executor with n cores': ALL of the JVM's helper threads
+    (GC, JIT, shuffle, Arrow shuttling) compete inside the same n-CPU
+    budget instead of silently borrowing the host's other cores, which
+    otherwise inflates the local[2] throughput and deflates the measured
+    N->4N scaling ratio (round-3 driver window: raw 0.627 unpinned)."""
+    cpus = sorted(os.sched_getaffinity(0))[:n]
+    os.sched_setaffinity(0, set(cpus))
+    return cpus
+
+
 def run_ocr_scale(cores: int) -> dict:
     from ocrs_spark.pipeline import ocr_documents
     from ocrs_spark.session import get_spark
 
+    pinned = _pin_to_cpus(cores)
     spark = get_spark(
         app_name=f"ocrs_bench_{cores}",
         master=f"local[{cores}]",
@@ -246,6 +260,7 @@ def run_ocr_scale(cores: int) -> dict:
     spark.stop()
     return {
         "cores": cores,
+        "pinned_cpus": pinned,
         "wall_sec": round(wall, 3),
         "images": n_images,
         "spans": n_spans,
@@ -518,7 +533,7 @@ def main() -> None:
     ocr = run_scaling_probe()
     write_bench_md(sf_dir, timings, ocr)
 
-    result = {
+    full = {
         "metric": "headline_queries_total_plus_ocr_scaling",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -526,7 +541,28 @@ def main() -> None:
         "sf": sf,
         "ocr": ocr,
     }
-    print(json.dumps(result))
+    # Full detail (per-probe-round raw numbers, capacity snapshots,
+    # normalizations) goes to an artifact file; stdout gets ONE COMPACT
+    # line. The round-3 artifact was unparseable ("parsed": null) because
+    # the full JSON exceeded the driver's stdout tail-capture window and
+    # lost its head — the machine-readable contract line must stay small
+    # and last.
+    with open(os.path.join(REPO, "BENCH", "metrics.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    lo, hi = OCR_SCALE_CORES
+    result = dict(full)
+    result["ocr"] = {
+        f"local{lo}_img_s": ocr[f"local{lo}"]["images_per_sec"],
+        f"local{hi}_img_s": ocr[f"local{hi}"]["images_per_sec"],
+        "scaling_efficiency": ocr["scaling_efficiency"],
+        "scaling_efficiency_host_normalized": ocr.get(
+            "scaling_efficiency_host_normalized"
+        ),
+        "engine_mp_efficiency": ocr.get("engine_mp_scaling", {}).get("efficiency"),
+        "details": "BENCH/metrics.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,22 @@ def _in_list(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _marker_count(words):
+    """Count tokens of split(text, ' ') that equal one of ``words``,
+    multiplicity included, as ONE codegen'd regexp_count — Catalyst
+    evaluates higher-order ``filter(split(...), t -> t IN ...)`` lambdas
+    interpreted per token, a per-token interpreter tax at corpus scale.
+    The text is space-padded so every token has a literal leading space
+    to consume and a trailing one to LOOK AHEAD at (not consume) — the
+    middle space in 'a a' is both the first token's right boundary and
+    the second's left, so consuming it would undercount adjacent hits.
+    Words are plain [a-z]+ so no regex-escaping is needed.
+    """
+    alts = "|".join(words)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return F.regexp_count(padded, F.lit(f" (?:{alts})(?= )")).cast("long")
+
+
 def lang_id_markers(spark, sf_dir):
     """Marker-count language ID: count lexicon hits per doc, classify by
     max count with deterministic tie-break (lexicon name order)."""
@@ -43,14 +59,7 @@ def lang_id_markers(spark, sf_dir):
     df = docs
     names = sorted(LEXICONS)
     for name in names:
-        df = df.withColumn(
-            f"c_{name}",
-            F.size(
-                F.expr(
-                    f"filter(split(text, ' '), t -> t IN ({_in_list(LEXICONS[name])}))"
-                )
-            ).cast("long"),
-        )
+        df = df.withColumn(f"c_{name}", _marker_count(LEXICONS[name]))
     best = F.greatest(*[F.col(f"c_{n}") for n in names])
     pred = F.when(best == 0, F.lit("und"))
     for n in names:
@@ -90,9 +99,7 @@ def quality_score(spark, sf_dir):
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length("text").cast("long")
-    n_stop = F.size(
-        F.expr(f"filter(split(text, ' '), t -> t IN ({_in_list(_STOPWORDS)}))")
-    ).cast("long")
+    n_stop = _marker_count(_STOPWORDS)
     mean_tok = F.round(
         F.length(F.regexp_replace("text", " ", "")) / n_tokens, 3
     )

@@ -176,4 +176,9 @@ def stream_ocr_documents(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # availableNow terminates once the backlog drains; the timeout is a
+    # hang-guard only (a stuck micro-batch must fail THIS query, not
+    # stall every query scheduled after it in a sweep).
+    if not q.awaitTermination(900):
+        q.stop()
+        raise TimeoutError("stream_ocr_documents: backlog not drained in 900s")
