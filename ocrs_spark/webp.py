@@ -577,8 +577,8 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, bool, list[int]]:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a lossless WebP file to an HWC uint8 array (RGB, or RGBA
-    when any pixel is non-opaque)."""
+    """Decode a WebP file (lossless VP8L or lossy VP8 keyframe) to an
+    HWC uint8 array (RGB, or RGBA when any pixel is non-opaque)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise UnsupportedImageError("not a WebP file")
     pos = 12
@@ -591,7 +591,9 @@ def decode_webp(data: bytes) -> np.ndarray:
             payload = body
             break
         if fourcc == b"VP8 ":
-            raise UnsupportedImageError("lossy WebP (VP8) unsupported")
+            from .vp8 import decode_vp8, yuv420_to_rgb
+
+            return yuv420_to_rgb(*decode_vp8(body))
         pos += 8 + size + (size & 1)  # chunks are even-padded
     if payload is None:
         raise UnsupportedImageError("no VP8L chunk in WebP file")

@@ -269,11 +269,12 @@ def test_dispatch_and_unsupported():
     img = np.full((5, 5, 3), 9, np.uint8)
     data = encode_webp(img)
     assert np.array_equal(decode_image(data), np.repeat(np.repeat(img, 1, 0), 1, 1))
-    # Lossy VP8 chunk is rejected cleanly.
+    # Lossy VP8 chunks now dispatch to the VP8 decoder (test_vp8.py);
+    # a truncated one is still rejected cleanly.
     import struct
 
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(UnsupportedImageError, match="lossy"):
+    with pytest.raises(UnsupportedImageError, match="truncated VP8"):
         decode_image(lossy)
 
 
