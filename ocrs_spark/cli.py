@@ -3,7 +3,8 @@
 
     python -m ocrs_spark.cli image.png [-o out.txt] [--json]
         [--beam] [--alphabet CHARS] [--allowed-chars CHARS]
-        [--text-map PATH] [--text-mask PATH] [--fake-models]
+        [--text-map PATH] [--text-mask PATH] [--text-line-images [DIR]]
+        [--fake-models]
 
 Reads PNG or RAWI from a path or stdin ('-'), runs the OCR engine
 (ONNX models via --detect-model/--rec-model when onnxruntime is
@@ -69,6 +70,14 @@ def main(argv=None) -> int:
     p.add_argument("--text-mask", help="write thresholded text mask PNG here")
     p.add_argument("--png", help="write annotated PNG (line + word boxes) here")
     p.add_argument("--webp", help="write annotated lossless WebP here")
+    p.add_argument(
+        "--text-line-images",
+        nargs="?",
+        const="lines",
+        metavar="DIR",
+        help="write each preprocessed recognition line crop as "
+        "DIR/line-<i>.png (default DIR: lines/)",
+    )
     args = p.parse_args(argv)
 
     data = sys.stdin.buffer.read() if args.image == "-" else open(args.image, "rb").read()
@@ -88,6 +97,20 @@ def main(argv=None) -> int:
 
     words = engine.detect_words(grey)
     lines = engine.find_text_lines(words)
+
+    if args.text_line_images:
+        # Mirrors write_preprocessed_text_line_images
+        # (ocrs-cli/src/main.rs:66-91): each line's recognition input,
+        # shifted from [-0.5, 0.5] back to greyscale, one PNG per line.
+        import os
+
+        os.makedirs(args.text_line_images, exist_ok=True)
+        for i, line in enumerate(lines):
+            crop = engine.prepare_recognition_input(grey, line) + 0.5
+            path = os.path.join(args.text_line_images, f"line-{i}.png")
+            with open(path, "wb") as f:
+                f.write(encode_png((np.clip(crop, 0, 1) * 255).astype(np.uint8)))
+
     recognized = engine.recognize_text(grey, lines)
 
     if args.png or args.webp:

@@ -113,3 +113,34 @@ def test_cli_stdin_json_and_debug_sinks(tmp_path):
     from ocrs_spark.webp import decode_webp
 
     assert np.array_equal(decode_webp((tmp_path / "annot.webp").read_bytes()), annotated)
+
+
+def test_cli_text_line_images_sink(tmp_path):
+    """--text-line-images writes one preprocessed line crop per
+    detected line (ocrs-cli/src/main.rs:66-101,441-443): greyscale PNG,
+    recognition-input geometry (model height, width-policy width)."""
+    img = make_word_image(2)
+    path = tmp_path / "img.png"
+    path.write_bytes(encode_png(img))
+    out_dir = tmp_path / "crops"
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "ocrs_spark.cli",
+            str(path),
+            "--fake-models",
+            "--text-line-images",
+            str(out_dir),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0
+    assert r.stdout.strip() == "77"
+    crops = sorted(out_dir.glob("line-*.png"))
+    assert len(crops) == 1
+    crop = decode_png(crops[0].read_bytes()).squeeze()
+    # Fake recognition model input height is 64 (models.py:65).
+    assert crop.ndim == 2 and crop.shape[0] == 64
+    assert crop.max() > 200 and crop.min() < 50  # real content, both poles
