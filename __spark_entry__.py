@@ -41,25 +41,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from ocrs_spark.ops import all_queries
 
-    out = dict(all_queries())
+    pool = dict(all_queries())
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # Priority ordering: round 3's driver sweep recorded only the
+    # first 50 entries, so the rows that prove the north-star contract
+    # come first and any overflow lands on the simplest relational
+    # variants at the tail (every entry, ordered or not, is also
+    # pytest-checked against its DuckDB oracle in tests/test_oracles).
+    #
+    # Tier 1 — the mandated extraction pipeline: batch flagship, its
+    # incremental-streaming twin (same oracle: the stream must
+    # reproduce the batch output exactly), failure isolation, and the
+    # per-span golden-text rows. quarantine/metrics share one
+    # materialized corpus, so they are cheap after the flagship rows.
     out["ocr_image_span_texts"] = ocr_image_span_texts
     out["ocr_text_span_parity"] = ocr_text_span_parity
     # Full end-to-end woven output, serialized per document so the
     # driver can canonicalize it (nested array<struct> is unhashable
     # in the driver's comparator) — oracle reconstructs the string.
     out["ocr_interleaved_pipeline"] = ocr_interleaved_pipeline
-    # The incremental-OCR stream must reproduce the batch flagship
-    # output exactly (same oracle as ocr_interleaved_pipeline). Ordered
-    # directly after the batch flagship row (not last): round 3's driver
-    # sweep recorded only the first 50 entries, and this — the 51st —
-    # lost its correctness row to the ordering.
     out["stream_ocr_interleaved"] = stream_ocr_interleaved
-    # Failure isolation: flagship corpus with planted corrupt media —
-    # corrupt spans land in the quarantine table, totals stay golden.
-    # These two share one materialized result (cheap after the first),
-    # so they are the cheapest rows to run last.
     out["extraction_quarantine"] = extraction_quarantine
     out["extraction_metrics_run"] = extraction_metrics_run
+    # Tier 2 — streaming + LLM-data-pipeline operators (dedup, ANN,
+    # text analysis, multimodal, skew), then the orchestration
+    # analogues and the TPC-H shapes (newest shapes before the
+    # longest-green simple variants).
+    tier2 = [
+        "stream_tumbling_agg", "stream_sessionize_closed",
+        "dedup_exact", "minhash_lsh_buckets", "ngram_jaccard_pairs",
+        "simhash_docs", "embedding_cosine_pairs", "ann_topk_bruteforce",
+        "ann_lsh_buckets", "ann_topk_lsh", "ann_ivf_topk", "ann_recall",
+        "lang_id_markers", "quality_score", "token_counts",
+        "doc_fingerprint", "tfidf_top_terms", "multimodal_decode_meta",
+        "multimodal_frame_sample", "salted_event_user_stats",
+        "curate_training_corpus",
+        "explode_token_counts", "reweave_roundtrip", "events_sessionize",
+        "events_metrics_agg", "events_tumbling_window",
+        "window_topk_orders_per_customer", "antijoin_customers_without_orders",
+        "q8_market_share", "q9_product_profit", "q11_important_stock",
+        "q15_top_supplier", "q21_waiting_suppliers",
+        "q1_pricing_summary", "q2_best_supplier", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q7_volume_shipping",
+        "q18_large_volume_customer", "q10_returned_items",
+        "q19_discounted_revenue", "q22_idle_balances", "q4_order_priority",
+        "q6_forecast_revenue", "q13_customer_distribution",
+        "q12_ship_delay_priority", "q14_promo_revenue",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q20_promo_part_suppliers",
+    ]
+    for name in tier2:
+        out[name] = pool.pop(name)
+    out.update(pool)  # future additions default to the tail
     return out
 
 

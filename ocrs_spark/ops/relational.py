@@ -859,6 +859,245 @@ WHERE rank = 1
 """
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a nation's market share inside one region's
+    market for one part type, by order year — a six-table star join
+    with conditional-share aggregation. Dimensions broadcast; the only
+    shuffle is the final per-year aggregate."""
+    region, nation, cust, supp, part, orders, li = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "part", "orders", "lineitem"
+    )
+    n_cust = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(target) / F.sum(vol), 4).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+ORACLE_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name substring filter. The synthetic schema has no
+    ps_supplycost, so cost is surrogated as 10% of p_retailprice per
+    unit — the aggregation/join shape (and the LIKE pushdown) is what
+    the query exercises."""
+    nation, supp, part, orders, li = load_tables(
+        spark, sf_dir, "nation", "supplier", "part", "orders", "lineitem"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%gear%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("supp_nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+ORACLE_Q9 = """
+SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.1 * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY supp_nation, o_year
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value for one nation's suppliers,
+    kept only above a fraction of the global total — a grouped
+    aggregate compared against a broadcast scalar aggregate of the
+    same relation (the correlated HAVING). Value surrogates
+    ps_supplycost * ps_availqty with summed extended price."""
+    nation, supp, li = load_tables(spark, sf_dir, "nation", "supplier", "lineitem")
+    nat_supp = (
+        supp.join(F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    base = li.join(
+        F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "l_extendedprice")
+    per_part = base.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+    )
+    total = base.agg((F.sum("l_extendedprice") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+ORACLE_Q11 = """
+WITH base AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+FROM base
+GROUP BY l_partkey
+HAVING round(sum(l_extendedprice), 2) >
+       (SELECT sum(l_extendedprice) * 0.001 FROM base)
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue view (per-supplier sum over a
+    three-month ship window) self-compared against its own maximum —
+    scalar max broadcast back, no global-window funnel. Revenue is
+    rounded on both engines before the equality so the max-matching
+    set is ulp-stable across fold orders."""
+    supp, li = load_tables(spark, sf_dir, "supplier", "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers whose lineitem was the only late one
+    in a multi-supplier finished order — a semi join (another supplier
+    participated) plus an anti join (no other supplier was late) on a
+    compound same-order/different-supplier condition. Lateness is
+    surrogated as shipping >60 days after the order date (the schema
+    has no commit/receipt dates)."""
+    supp, orders, li = load_tables(spark, sf_dir, "supplier", "orders", "lineitem")
+    fli = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late", F.expr("timestampdiff(DAY, o_orderdate, l_shipdate) > 60")
+    )
+    late = fli.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+    others = fli.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = fli.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+ORACLE_Q21 = """
+WITH fli AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > 60 AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM fli l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM fli l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM fli l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey AND l3.is_late)
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -877,6 +1116,11 @@ QUERIES = {
     "q20_promo_part_suppliers": q20_promo_part_suppliers,
     "q22_idle_balances": q22_idle_balances,
     "q2_best_supplier": q2_best_supplier,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q15_top_supplier": q15_top_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q9_product_profit": q9_product_profit,
+    "q8_market_share": q8_market_share,
     "window_topk_orders_per_customer": window_topk_orders_per_customer,
     "antijoin_customers_without_orders": antijoin_customers_without_orders,
     "events_metrics_agg": events_metrics_agg,
@@ -904,6 +1148,11 @@ ORACLES = {
     "q20_promo_part_suppliers": ORACLE_Q20,
     "q22_idle_balances": ORACLE_Q22,
     "q2_best_supplier": ORACLE_Q2,
+    "q21_waiting_suppliers": ORACLE_Q21,
+    "q15_top_supplier": ORACLE_Q15,
+    "q11_important_stock": ORACLE_Q11,
+    "q9_product_profit": ORACLE_Q9,
+    "q8_market_share": ORACLE_Q8,
     "window_topk_orders_per_customer": ORACLE_WINDOW_TOPK,
     "antijoin_customers_without_orders": ORACLE_ANTIJOIN,
     "events_metrics_agg": ORACLE_EVENTS_METRICS,
