@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract / frame-sample over ``mapInPandas``.
 
-The container has no image/audio codecs (no PIL/cv2/ffmpeg), so the
-payloads are deterministic RAWI images synthesized from each document's
-(doc_id, n_chars) — which makes the *plumbing* fully real (binary column
--> Arrow batch -> numpy decode -> typed metadata out) while the expected
-values stay SQL-computable in closed form for the DuckDB oracle. The
-actual perceptual decode for real formats is stubbed: codec.decode_image
-raises UnsupportedImageError for JPEG/WebP/video payloads by design.
+The decode path is REAL: each document carries an encoded image payload
+in one of three container formats (RAWI, PNG, lossless WebP chosen by
+``doc_id % 3``), and the executor-side batches run them through the
+same ``codec.decode_image`` magic-byte dispatcher the OCR pipeline
+uses. The payloads are synthesized deterministically from (doc_id,
+n_chars) with flat fills and lossless codecs, which keeps every output
+column SQL-computable in closed form for the DuckDB oracle while the
+Spark side exercises genuine format sniffing + decode per payload.
+Audio/video perceptual decode stays stubbed (no ffmpeg in the
+container); frame sampling runs over a synthetic per-doc frame count.
 """
 
 from __future__ import annotations
@@ -20,14 +23,16 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from . import load_tables
-from ..codec import decode_rawi, encode_rawi
+from ..codec import decode_image, encode_png, encode_rawi
 
 META_SCHEMA = (
-    "doc_id bigint, width int, height int, channels int, n_bytes bigint, "
-    "mean_pixel double, checksum bigint"
+    "doc_id bigint, fmt string, width int, height int, channels int, "
+    "decoded_bytes bigint, mean_pixel double, checksum bigint"
 )
 
 FRAME_SCHEMA = "doc_id bigint, n_frames int, sampled string"
+
+_FMTS = ("rawi", "png", "webp")
 
 
 def _synth_dims(doc_id: int, n_chars: int) -> tuple[int, int, int, int]:
@@ -39,29 +44,51 @@ def _synth_dims(doc_id: int, n_chars: int) -> tuple[int, int, int, int]:
     return width, height, channels, fill
 
 
+def _synth_payload(doc_id: int, n_chars: int) -> tuple[bytes, str]:
+    """Encode the synthetic image in a per-doc container format. All
+    three are lossless, so decode(payload) == the flat source exactly."""
+    w, h, c, fill = _synth_dims(doc_id, n_chars)
+    img = np.full((h, w, c), fill, dtype=np.uint8)
+    fmt = _FMTS[doc_id % 3]
+    if fmt == "rawi":
+        return encode_rawi(img), fmt
+    if fmt == "png":
+        return encode_png(img), fmt
+    from ..webp import encode_webp
+
+    return encode_webp(img), fmt
+
+
 def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from ..malloc_tuning import pretouch_arena
 
     pretouch_arena(64)
+    cols = ("doc_id", "fmt", "width", "height", "channels",
+            "decoded_bytes", "mean_pixel", "checksum")
     for pdf in batches:
-        out = {k: [] for k in ("doc_id", "width", "height", "channels", "n_bytes", "mean_pixel", "checksum")}
+        out = {k: [] for k in cols}
+        # Per-payload loop is irreducible here: each row is an
+        # independent encoded container that must be sniffed + decoded
+        # (exactly what a real corpus demands); Arrow still delivers
+        # the rows to Python in vectorized batches.
         for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
-            w, h, c, fill = _synth_dims(int(doc_id), int(n_chars))
-            payload = encode_rawi(np.full((h, w, c), fill, dtype=np.uint8))
-            img = decode_rawi(payload)  # real binary -> numpy roundtrip
+            payload, fmt = _synth_payload(int(doc_id), int(n_chars))
+            img = decode_image(payload)  # magic-byte dispatch, real decode
             out["doc_id"].append(int(doc_id))
+            out["fmt"].append(fmt)
             out["width"].append(img.shape[1])
             out["height"].append(img.shape[0])
             out["channels"].append(img.shape[2])
-            out["n_bytes"].append(len(payload))
+            out["decoded_bytes"].append(int(img.size))
             out["mean_pixel"].append(round(float(img.mean()), 3))
             out["checksum"].append(int(img.astype(np.int64).sum() % 997))
         yield pd.DataFrame(out)
 
 
 def multimodal_decode_meta(spark, sf_dir):
-    """Binary decode + metadata/feature extraction through the real
-    Arrow/pandas path; oracle computes the same values in closed form."""
+    """Heterogeneous-format binary decode + metadata extraction through
+    the real Arrow/pandas + codec-dispatch path; the oracle computes
+    the same values in closed form (lossless codecs, flat fills)."""
     (docs,) = load_tables(spark, sf_dir, "documents")
     return docs.select("doc_id", "n_chars").mapInPandas(
         _decode_meta_batches, schema=META_SCHEMA
@@ -70,10 +97,11 @@ def multimodal_decode_meta(spark, sf_dir):
 
 ORACLE_DECODE_META = """
 SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'rawi' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt,
        (n_chars % 64 + 16)::INT AS width,
        ((doc_id * 7) % 48 + 16)::INT AS height,
        3::INT AS channels,
-       (17 + (n_chars % 64 + 16) * ((doc_id * 7) % 48 + 16) * 3)::BIGINT AS n_bytes,
+       ((n_chars % 64 + 16) * ((doc_id * 7) % 48 + 16) * 3)::BIGINT AS decoded_bytes,
        round((doc_id % 251) * 1.0, 3) AS mean_pixel,
        (((n_chars % 64 + 16) * ((doc_id * 7) % 48 + 16) * 3 * (doc_id % 251)) % 997)::BIGINT AS checksum
 FROM documents
