@@ -420,15 +420,18 @@ def run_scaling_probe() -> dict:
         # Normalized by the full-footprint capacity ratio AND by the
         # plain lo-vs-hi ratio (the round-1 methodology) — both shown,
         # so methodology changes never masquerade as engine gains.
-        out["scaling_efficiency_host_normalized"] = round(
-            min(out["scaling_efficiency"] / max(cap["capacity_ratio"], 1e-9), 1.0), 3
-        )
-        out["scaling_efficiency_host_normalized_hi"] = round(
-            min(
-                out["scaling_efficiency"] / max(cap.get("capacity_ratio_hi", 1e-9), 1e-9),
-                1.0,
-            ),
-            3,
+        # A capacity ratio above 1 is physically meaningless (capacity
+        # cannot scale super-linearly with thread count steady-state;
+        # it means the sequential snapshot straddled a host-load swing)
+        # so it is clamped to 1 for normalization — otherwise a broken
+        # snapshot would "normalize" the efficiency BELOW the raw value.
+        def _norm(ratio):
+            usable = min(max(ratio, 1e-9), 1.0)
+            return round(min(out["scaling_efficiency"] / usable, 1.0), 3)
+
+        out["scaling_efficiency_host_normalized"] = _norm(cap["capacity_ratio"])
+        out["scaling_efficiency_host_normalized_hi"] = _norm(
+            cap.get("capacity_ratio_hi", 1e-9)
         )
         out["all_rounds"] = rounds_log
         return out

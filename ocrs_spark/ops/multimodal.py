@@ -90,8 +90,14 @@ def multimodal_decode_meta(spark, sf_dir):
     the real Arrow/pandas + codec-dispatch path; the oracle computes
     the same values in closed form (lossless codecs, flat fills)."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    return docs.select("doc_id", "n_chars").mapInPandas(
-        _decode_meta_batches, schema=META_SCHEMA
+    # The decode stage is CPU-bound Python; a small parquet scan may
+    # arrive as one file-block partition, serializing it. Spread the
+    # (tiny, two-column) input across the cores explicitly — the same
+    # sizing a real corpus needs when scan granularity != decode cost.
+    return (
+        docs.select("doc_id", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_decode_meta_batches, schema=META_SCHEMA)
     )
 
 
