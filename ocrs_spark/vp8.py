@@ -714,10 +714,11 @@ def decode_vp8(data: bytes):
     version = (tag >> 1) & 7
     if version > 3:
         raise UnsupportedImageError(f"invalid VP8 version {version}")
-    if version != 0:
-        # Profiles 1-3 replace the subpixel/loop filters; nothing
-        # mainstream writes them for stills.
-        raise UnsupportedImageError(f"unsupported VP8 profile {version}")
+    # Versions 1-3 swap the INTER-prediction subpixel reconstruction
+    # filters (and libwebp emits version 1 when encoding with the
+    # simple loop filter). Keyframes contain no inter prediction, and
+    # the loop-filter choice is read from the frame header's
+    # filter_type bit, so all four versions decode identically here.
     first_part_size = tag >> 5
     if data[3:6] != b"\x9d\x01\x2a":
         raise UnsupportedImageError("bad VP8 start code")

@@ -42,8 +42,8 @@ def _parse_header(payload):
     hdr.height = (payload[8] | payload[9] << 8) & 0x3FFF
     hdr.mb_w = (hdr.width + 15) >> 4
     hdr.mb_h = (hdr.height + 15) >> 4
-    _parse_frame_header(_Bool(payload, 10, 10 + (tag >> 5)), hdr)
-    return hdr
+    n_parts = _parse_frame_header(_Bool(payload, 10, 10 + (tag >> 5)), hdr)
+    return hdr, n_parts
 
 
 FIXTURES = sorted(
@@ -70,10 +70,12 @@ def test_fixture_suite_covers_the_decoder_features():
     segmentation, coefficient-probability updates, B_PRED mode parsing
     and a nonzero loop filter — silently losing one would turn the
     bit-exactness suite vacuous for that feature."""
-    hdrs = {n: _parse_header(_vp8_payload(os.path.join(FIXDIR, n + ".webp")))
-            for n in FIXTURES}
+    parsed = {n: _parse_header(_vp8_payload(os.path.join(FIXDIR, n + ".webp")))
+              for n in FIXTURES}
+    hdrs = {n: h for n, (h, _) in parsed.items()}
     assert any(h.seg_enabled for h in hdrs.values())
     assert all(h.filter_level > 0 for h in hdrs.values())
+    assert any(n_parts > 1 for _, n_parts in parsed.values())
     from ocrs_spark.vp8_tables import COEFF_PROBS
 
     def n_updates(h):
@@ -85,6 +87,10 @@ def test_fixture_suite_covers_the_decoder_features():
     assert any(n_updates(h) > 10 for h in hdrs.values())
     # Odd widths/heights force partial-MB cropping paths.
     assert any(h.width % 16 and h.height % 16 for h in hdrs.values())
+    # The advanced-API fixtures must keep the simple-filter, sharpness
+    # and multi-partition paths exercised (make_vp8_adv_fixtures.py).
+    assert any(h.filter_simple for h in hdrs.values())
+    assert any(h.sharpness > 0 for h in hdrs.values())
 
 
 def test_container_decode_rgb():
@@ -136,7 +142,7 @@ def test_rejects_interframe_and_garbage():
     with pytest.raises(UnsupportedImageError):
         decode_vp8(bytes(payload[:8]))  # truncated header
     bad = bytearray(payload)
-    bad[0] = (bad[0] & ~0x0E) | (1 << 1)  # profile 1 (different filters)
+    bad[0] = (bad[0] & ~0x0E) | (5 << 1)  # version 5 is out of range
     with pytest.raises(UnsupportedImageError):
         decode_vp8(bytes(bad))
 
