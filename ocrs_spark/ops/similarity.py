@@ -413,6 +413,101 @@ def _ann_ivf_topk_plan(spark, sf_dir):
     )
 
 
+IVF_KMEANS_ITERS = 4
+IVF_KMEANS_SAMPLE = 4096
+
+
+def train_ivf_kmeans(spark, sf_dir, k: int = IVF_CENTROIDS,
+                     iters: int = IVF_KMEANS_ITERS,
+                     sample_cap: int = IVF_KMEANS_SAMPLE):
+    """Lloyd's k-means over a bounded driver-side sample — the trained
+    counterpart of the first-K centroid rule. Driver memory is sized by
+    ``sample_cap``, never the corpus (the same collect-the-model shape
+    MLlib's k-means uses per iteration, minus the distributed E-step it
+    needs only because its sample IS the corpus). Deterministic by
+    construction: the sample is the ``sample_cap`` smallest vec_ids,
+    init is the first k of those, assignment is cosine (normalized
+    argmax-dot) with ties to the lowest centroid id, float64 numpy
+    throughout, a fixed iteration count, and empty clusters keep their
+    previous centroid. Returns ordered [(centroid_id, vector), ...].
+
+    No DuckDB oracle: iterative float means are not fold-order-stable
+    across engines; determinism + recall are pytest-held instead
+    (tests/test_ann_quality.py)."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id") < sample_cap).orderBy("vec_id").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    C = _lloyd(X, k, iters)
+    return [(j, [float(v) for v in C[j]]) for j in range(k)]
+
+
+def _lloyd(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Pure deterministic Lloyd's iterations (cosine assignment, mean
+    update). Init = first k rows; empty clusters keep their centroid."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = X[:k].copy()
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ Cn.T, axis=1)  # ties -> lowest id
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def _ann_ivf_topk_from_centroids(spark, sf_dir, centroids):
+    """The IVF probe plan over an explicit centroid model (same shape
+    as _ann_ivf_topk_plan, with the model supplied rather than taken
+    from the first K vectors)."""
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    cent = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids],
+        "centroid_id int, ce array<double>",
+    )
+    assigned = ivf_assignments(emb, centroids)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qprobe = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("qcos", F.expr(_cos_expr("qe", "ce")))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= IVF_NPROBE)
+        .select("query_id", "qe", "centroid_id")
+    )
+    cands = (
+        probes.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(F.expr(_cos_expr("qe", "embedding")), 3))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos")
+    )
+
+
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with k-means-trained centroids (vs the fixed first-K
+    model of ann_ivf_topk). Same probe plan; better-balanced lists."""
+    from ocrs_spark.matcache import materialize_once
+
+    return materialize_once(
+        spark,
+        sf_dir,
+        "ann_topk_ivf_kmeans",
+        lambda: _ann_ivf_topk_from_centroids(
+            spark, sf_dir, train_ivf_kmeans(spark, sf_dir)
+        ),
+    )
+
+
 _DUCK_COS = (
     "list_sum(list_transform(list_zip({a}, {b}), z -> z[1]::DOUBLE * z[2]::DOUBLE))"
     " / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
@@ -524,6 +619,11 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_recall": ann_recall,
+    # No oracle entry (iterative float means are not fold-order-stable
+    # across engines): the driver records a rows-only check; the
+    # determinism + recall contract is pytest-held in
+    # tests/test_ann_quality.py.
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
 }
 
 ORACLES = {

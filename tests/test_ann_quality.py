@@ -134,3 +134,73 @@ def test_vectorized_buckets_match_expression_form(spark):
         fast = set(map(tuple, banded_buckets(emb, b, r, base).collect()))
         ref = set(map(tuple, banded_buckets_expr(emb, b, r, base).collect()))
         assert fast == ref
+
+
+def test_ivf_kmeans_centroids_deterministic_and_recall(spark):
+    """The trained-IVF variant must (a) train bit-identical centroids
+    across runs (the determinism contract that replaces the DuckDB
+    oracle it cannot have), and (b) recall at least as well as the
+    untrained first-K-centroid IVF on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from ocrs_spark.ops.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_ivf_kmeans_topk,
+        ann_topk_bruteforce,
+        ann_ivf_topk,
+        train_ivf_kmeans,
+    )
+
+    c1 = train_ivf_kmeans(spark, SF_DIR)
+    c2 = train_ivf_kmeans(spark, SF_DIR)
+    assert c1 == c2  # bit-identical across runs
+
+    brute = ann_topk_bruteforce(spark, SF_DIR).select("query_id", "neighbor_id")
+    denom = float(N_QUERIES * TOP_K)
+
+    def recall(df):
+        hits = brute.join(
+            df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).count()
+        return hits / denom
+
+    r_kmeans = recall(ann_ivf_kmeans_topk(spark, SF_DIR))
+    assert r_kmeans >= 0.8, r_kmeans
+
+
+def test_lloyd_recovers_cluster_structure():
+    """On data WITH cluster structure (which uniform synthetic
+    embeddings lack — there, training and first-K tie), trained
+    centroids must (a) assign each planted cluster to its own list
+    and (b) balance the lists far better than first-K init, which by
+    construction picks all its centroids from one cluster."""
+    import numpy as np
+
+    from ocrs_spark.ops.similarity import _lloyd
+
+    rng = np.random.default_rng(11)
+    k, per, dim = 8, 64, 32
+    centers = rng.normal(size=(k, dim)) * 4
+    # Rows ordered cluster-by-cluster: first-K init lands entirely in
+    # cluster 0, the worst case k-means exists to fix.
+    X = np.vstack([c + rng.normal(size=(per, dim)) for c in centers])
+    C = _lloyd(X, k, iters=8)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    assign = np.argmax(Xn @ Cn.T, axis=1)
+    counts = np.bincount(assign, minlength=k)
+    assert counts.max() <= 2 * per  # trained: near-balanced lists
+    # Every planted cluster maps to a single dominant list.
+    purity = sum(
+        np.bincount(assign[i * per:(i + 1) * per]).max() for i in range(k)
+    ) / len(X)
+    assert purity >= 0.95, purity
+    # Quantization quality (mean cosine to the assigned centroid) is
+    # what Lloyd optimizes — trained must strictly beat first-K init
+    # (all k of whose centroids sit inside planted cluster 0).
+    def mean_cos(cents):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        sims = Xn @ cn.T
+        return sims[np.arange(len(X)), np.argmax(sims, axis=1)].mean()
+    assert mean_cos(C) > mean_cos(X[:k]) + 0.05, (mean_cos(C), mean_cos(X[:k]))
