@@ -154,12 +154,36 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "span.kind", "span.text", "span.media_ref", "span.offset")
 
 
+def _media_fits_broadcast(media: DataFrame) -> bool:
+    """Decide the fan-out strategy with one narrow aggregate over the
+    payload column. Catalyst's own size estimate is unusable here
+    (local relations and post-UDF nodes report placeholder stats), and
+    the decision must be right at both extremes: force-broadcasting a
+    TB-scale media table kills the driver, while shuffle-joining a tiny
+    one makes the big span table pay an Exchange it never needed. The
+    deciding aggregate reads one column of the (already deduplicated-
+    by-nature) media table and is dwarfed by the OCR stage it gates."""
+    spark = media.sparkSession
+    try:
+        thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        thresh = 10 * 1024 * 1024
+    if thresh <= 0:
+        return False
+    row = media.agg(
+        F.coalesce(F.sum(F.octet_length("bytes")), F.lit(0)).alias("b"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    overhead = 64  # hashed-relation per-row key/pointer overhead
+    return int(row.b) + overhead * int(row.n) <= thresh
+
+
 def ocr_image_spans(
     spans: DataFrame,
     media: DataFrame,
     engine_conf: dict,
     partitions: int | None = None,
-    broadcast_media: bool = True,
+    broadcast_media: bool | None = None,
     dedup_media: bool = True,
 ) -> DataFrame:
     """Run OCR over the image spans. Returns
@@ -170,9 +194,16 @@ def ocr_image_spans(
     at corpus scale the same image is commonly referenced by many
     documents, and model inference dwarfs the join. The unit of scheduled
     work becomes one unique image, which also flattens doc-level skew.
+
+    ``broadcast_media=None`` (default) measures the media payload and
+    broadcasts only when it fits the session's broadcast threshold —
+    a corpus-scale media table falls back to the hash join + skew-salted
+    repartition automatically instead of relying on a caller flag.
     """
     work = spans.filter(F.col("kind") == "image").select("doc_id", "offset", "media_ref")
     m = media.select("media_ref", "bytes")
+    if broadcast_media is None:
+        broadcast_media = _media_fits_broadcast(m)
     if broadcast_media:
         m = F.broadcast(m)
     spark = work.sparkSession
@@ -256,10 +287,11 @@ def ocr_documents(
     media: DataFrame,
     engine_conf: dict | None = None,
     partitions: int | None = None,
-    broadcast_media: bool = True,
+    broadcast_media: bool | None = None,
 ) -> DataFrame:
     """Full pipeline: documents + media -> documents with image spans
-    OCR'd, span order restored by offset."""
+    OCR'd, span order restored by offset. ``broadcast_media=None``
+    sizes the media payload and picks the fan-out strategy itself."""
     engine_conf = engine_conf or {"kind": "fake"}
     spans = explode_spans(documents)
     results = ocr_image_spans(

@@ -84,6 +84,28 @@ def test_ocr_results_fan_out_via_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_media_broadcast_decision_is_size_aware(spark):
+    """broadcast_media=None measures the payload: tiny media broadcasts
+    (previous test), while media over the session threshold must fall
+    back to the shuffle join — at corpus scale the media table is TBs
+    and force-broadcasting it would kill the driver."""
+    from ocrs_spark.fixtures import corpus_to_spark, generate_corpus
+    from ocrs_spark.pipeline import _media_fits_broadcast, ocr_image_spans
+
+    docs, media, _ = corpus_to_spark(spark, generate_corpus(n_docs=6))
+    assert _media_fits_broadcast(media.select("media_ref", "bytes"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try:
+        assert not _media_fits_broadcast(media.select("media_ref", "bytes"))
+        plan = plan_of(
+            ocr_image_spans(explode_spans(docs), media, {"kind": "fake"})
+        )
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_explode_prunes_media_bytes(spark):
     from ocrs_spark.fixtures import corpus_to_spark, generate_corpus
 
