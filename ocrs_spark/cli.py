@@ -70,6 +70,7 @@ def main(argv=None) -> int:
     p.add_argument("--text-mask", help="write thresholded text mask PNG here")
     p.add_argument("--png", help="write annotated PNG (line + word boxes) here")
     p.add_argument("--webp", help="write annotated lossless WebP here")
+    p.add_argument("--webp-lossy", help="write annotated lossy (VP8) WebP here")
     p.add_argument(
         "--text-line-images",
         nargs="?",
@@ -113,7 +114,7 @@ def main(argv=None) -> int:
 
     recognized = engine.recognize_text(grey, lines)
 
-    if args.png or args.webp:
+    if args.png or args.webp or args.webp_lossy:
         from .output import generate_annotated_image
 
         annotated = generate_annotated_image(img, lines, recognized)
@@ -125,6 +126,11 @@ def main(argv=None) -> int:
 
             with open(args.webp, "wb") as f:
                 f.write(encode_webp(annotated))
+        if args.webp_lossy:
+            from .vp8enc import encode_webp_lossy
+
+            with open(args.webp_lossy, "wb") as f:
+                f.write(encode_webp_lossy(annotated, qindex=8))
 
     if args.json:
         out = format_json_output(args.image, grey.shape, recognized)

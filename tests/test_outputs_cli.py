@@ -99,6 +99,8 @@ def test_cli_stdin_json_and_debug_sinks(tmp_path):
             str(png_path),
             "--webp",
             str(tmp_path / "annot.webp"),
+            "--webp-lossy",
+            str(tmp_path / "annot_lossy.webp"),
         ],
         input=encode_rawi(img),
         capture_output=True,
@@ -113,6 +115,10 @@ def test_cli_stdin_json_and_debug_sinks(tmp_path):
     from ocrs_spark.webp import decode_webp
 
     assert np.array_equal(decode_webp((tmp_path / "annot.webp").read_bytes()), annotated)
+    # The lossy sink round-trips through our own VP8 encoder+decoder.
+    lossy = decode_webp((tmp_path / "annot_lossy.webp").read_bytes())
+    assert lossy.shape == annotated.shape
+    assert np.abs(lossy.astype(int) - annotated.astype(int)).mean() < 8
 
 
 def test_cli_text_line_images_sink(tmp_path):
