@@ -416,8 +416,26 @@ def encode_vp8(rgb: np.ndarray, qindex: int = 12) -> bytes:
                 upd = COEFF_UPDATE_PROBS[t][b][c]
                 for p in range(11):
                     be.bool(upd[p], 0)
-    be.literal(0, 1)  # mb_no_coeff_skip disabled: every MB codes tokens
-    for _ in range(n_mb):
+    # mb_no_coeff_skip: flag all-zero MBs so their token blocks are not
+    # coded at all — the decoder's skip path (zeroed contexts, no token
+    # reads) is a distinct code path worth exercising end-to-end.
+    skip_flags = [
+        not (
+            y2_levels[mb].any()
+            or y_levels[mb].any()
+            or u_levels[mb].any()
+            or v_levels[mb].any()
+        )
+        for mb in range(n_mb)
+    ]
+    use_skip = any(skip_flags)
+    skip_prob = 128
+    be.literal(1 if use_skip else 0, 1)
+    if use_skip:
+        be.literal(skip_prob, 8)
+    for mb in range(n_mb):
+        if use_skip:
+            be.bool(skip_prob, 1 if skip_flags[mb] else 0)
         be.tree(_KF_YMODE_TREE, _KF_YMODE_PROB, DC_PRED)
         be.tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, DC_PRED)
     part1 = be.finish()
@@ -436,6 +454,18 @@ def encode_vp8(rgb: np.ndarray, qindex: int = 12) -> bytes:
         left_y2 = 0
         for mx in range(mb_w):
             mb = my * mb_w + mx
+            if use_skip and skip_flags[mb]:
+                # Skipped MB: no tokens; contexts zero (all our MBs
+                # carry Y2, so its context zeroes too — decoder rule).
+                left_y[:] = 0
+                above_y[mx, :] = 0
+                left_u[:] = 0
+                above_u[mx, :] = 0
+                left_v[:] = 0
+                above_v[mx, :] = 0
+                left_y2 = 0
+                above_y2[mx] = 0
+                continue
             ctx = above_y2[mx] + left_y2
             nz = _write_coeffs(te, probs[1], ctx, 0, y2_levels[mb])
             above_y2[mx] = left_y2 = 1 if nz else 0

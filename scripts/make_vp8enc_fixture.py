@@ -24,7 +24,15 @@ OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures", "vp
 def main() -> None:
     lib = _load_libwebp()
     imgs = synth_images()
-    cases = {"enc_photo_q20": (imgs["photo"], 20), "enc_glyphs_q8": (imgs["glyphs"], 8)}
+    rng = np.random.default_rng(5)
+    skippy = np.full((96, 128, 3), (128, 128, 128), np.uint8)
+    skippy[40:56, 40:72] = rng.integers(0, 256, (16, 32, 3))
+    cases = {
+        "enc_photo_q20": (imgs["photo"], 20),
+        "enc_glyphs_q8": (imgs["glyphs"], 8),
+        # Mostly-flat frame: most MBs take the mb_skip_coeff path.
+        "enc_skippy_q60": (skippy, 60),
+    }
     for name, (img, qi) in cases.items():
         data = encode_webp_lossy(img, qindex=qi)
         yp, up, vp = decode_yuv(lib, data)

@@ -93,6 +93,8 @@ def test_fixture_suite_covers_the_decoder_features():
     # and multi-partition paths exercised (make_vp8_adv_fixtures.py).
     assert any(h.filter_simple for h in hdrs.values())
     assert any(h.sharpness > 0 for h in hdrs.values())
+    # Skip-MB decoding must stay exercised (enc_skippy fixture).
+    assert any(h.use_skip for h in hdrs.values())
 
 
 def test_container_decode_rgb():
