@@ -139,3 +139,44 @@ def test_bad_media_ref_yields_error_not_crash(spark, frames):
     results_df.unpersist()
     woven = spans_as_tuples(ocr_documents(docs, media))
     assert woven["bad-1"][1] == ("text", "hello", None, 1)
+
+
+def test_lossy_webp_media_decodes_in_executors(spark):
+    """A lossy (VP8) WebP media payload flows through the distributed
+    OCR path: the executor-side decode_image dispatch handles it, no
+    quarantine row appears, and the OCR output matches OCRing the
+    decoded image directly through the engine."""
+    import numpy as np
+
+    from ocrs_spark.codec import decode_image
+    from ocrs_spark.fixtures import make_word_image
+    from ocrs_spark.models import FakeDetectionModel, FakeRecognitionModel, fake_alphabet
+    from ocrs_spark import OcrEngine, OcrEngineParams
+    from ocrs_spark.fixtures import MEDIA_SCHEMA
+    from ocrs_spark.vp8enc import encode_webp_lossy
+
+    img = make_word_image(2)
+    payload = encode_webp_lossy(img, qindex=4)
+    eng = OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            recognition_model=FakeRecognitionModel(),
+            alphabet=fake_alphabet(),
+        )
+    )
+    expected = eng.get_text(eng.prepare_input(decode_image(payload)))
+
+    media = spark.createDataFrame(
+        [{"media_ref": "lossy-1", "bytes": bytearray(payload),
+          "width": img.shape[1], "height": img.shape[0], "channels": 3}],
+        schema=MEDIA_SCHEMA,
+    )
+    docs = spark.createDataFrame(
+        [{"doc_id": "d1", "spans": [
+            {"kind": "image", "text": None, "media_ref": "lossy-1", "offset": 0}]}],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = ocr_image_spans(explode_spans(docs), media, {"kind": "fake"}).collect()
+    assert len(rows) == 1
+    assert rows[0]["error"] is None
+    assert rows[0]["ocr_text"] == expected and expected  # non-empty text
