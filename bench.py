@@ -46,6 +46,11 @@ HEADLINE = [
     "q20_promo_part_suppliers",
     "q22_idle_balances",
     "q2_best_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
     "window_topk_orders_per_customer",
     "events_tumbling_window",
     "explode_token_counts",
@@ -64,6 +69,7 @@ HEADLINE = [
     "multimodal_decode_meta",
     "events_sessionize",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "ann_topk_lsh",
     "ann_recall",
     "salted_event_user_stats",

@@ -47,3 +47,22 @@ def test_progressive_jpeg_equals_baseline(img, quality):
     base = decode_jpeg(encode_jpeg(img, quality=quality))
     prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
     assert np.array_equal(base, prog)
+
+
+@settings(max_examples=25, deadline=None)
+@given(images(channels=st.sampled_from([3])), st.integers(0, 127))
+def test_vp8_lossy_roundtrip_bounded(img, qindex):
+    """Lossy VP8: our decoder accepts every bitstream our encoder emits
+    for arbitrary content/dimensions/quantizers, reconstruction shape
+    matches, and the YUV-domain error stays within the quantizer-step
+    bound (the conformance guarantee a lossy codec CAN make)."""
+    from ocrs_spark.vp8 import AC_QLOOKUP, decode_vp8
+    from ocrs_spark.vp8enc import _rgb_to_yuv420, encode_vp8
+
+    y, u, v = decode_vp8(encode_vp8(img, qindex=qindex))
+    ys, us, vs = _rgb_to_yuv420(img)
+    assert y.shape == ys.shape and u.shape == us.shape and v.shape == vs.shape
+    bound = AC_QLOOKUP[qindex] * 1.5 + 4
+    assert np.abs(y.astype(int) - ys.astype(int)).max() <= bound
+    assert np.abs(u.astype(int) - us.astype(int)).max() <= bound
+    assert np.abs(v.astype(int) - vs.astype(int)).max() <= bound
