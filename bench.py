@@ -335,10 +335,13 @@ def engine_mp_scaling(n_images: int = 24) -> dict:
     return out
 
 
-SCALE_PROBE_ROUNDS = 5     # full probe retries if efficiency < target
-HEALTHY_WAIT_SEC = 45      # wait between retry rounds (window shift)
+SCALE_PROBE_ROUNDS = 6     # full probe retries if efficiency < target
+HEALTHY_WAIT_SEC = 90      # wait between retry rounds — degraded windows
+                           # observed to persist across three successive
+                           # back-to-back rounds, so give them longer to
+                           # shift before burning another probe
 TARGET_EFFICIENCY = 0.8    # the north rule's bar
-SCALE_TIME_BUDGET_SEC = 1500  # stop retrying past this; return the best
+SCALE_TIME_BUDGET_SEC = 2100  # stop retrying past this; return the best
                               # round so the whole bench stays bounded
 
 
