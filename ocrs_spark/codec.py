@@ -7,9 +7,10 @@ Two formats:
    Spark-side plumbing (binary column -> decode -> numpy batch) fully
    real without PIL/cv2, per the sandbox constraints.
 
-2. PNG (decode only) — a minimal pure-Python PNG reader (zlib inflate +
-   scanline unfiltering; 8-bit grey/RGB/RGBA, non-interlaced) so the
-   reference's real test images (ocrs-cli/test-data/*.png) can be loaded
+2. PNG (decode + minimal encode) — a pure-Python PNG reader (zlib
+   inflate + scanline unfiltering; color types 0/2/3/4/6, bit depths
+   1-16, PLTE/tRNS, Adam7 interlacing) so the reference's real test
+   images (ocrs-cli/test-data/*.png) and real-corpus PNG variants load
    as pixel arrays. Counterpart of the reference's file image scan
    (ocrs-cli/src/main.rs:319-323), which supports PNG/JPEG/WebP via the
    image crate; JPEG (ocrs_spark.jpeg, baseline T.81) and lossless WebP
@@ -86,74 +87,42 @@ def decode_rlei(data: bytes) -> np.ndarray:
 # ------------------------------------------------------------------- PNG
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> samples per pixel (3 = palette: one index sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 interlace passes: (x_start, x_step, y_start, y_step).
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to an HWC uint8 array.
-
-    Supports color types 0 (grey), 2 (RGB), 4 (grey+alpha), 6 (RGBA)
-    and all five scanline filters. Palette/16-bit/interlaced PNGs raise
-    UnsupportedImageError.
-    """
-    if data[:8] != _PNG_SIG:
-        raise UnsupportedImageError("not a PNG")
-    pos = 8
-    width = height = None
-    bit_depth = color_type = interlace = None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-        elif ctype == b"IDAT":
-            idat.extend(chunk)
-        elif ctype == b"IEND":
-            break
-    if bit_depth != 8:
-        raise UnsupportedImageError(f"unsupported PNG bit depth {bit_depth}")
-    if color_type not in _PNG_CHANNELS:
-        raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
-    if interlace:
-        raise UnsupportedImageError("interlaced PNG not supported")
-
-    channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
+def _png_unfilter(raw: bytes, height: int, row_bytes: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters -> (height, row_bytes)."""
+    if len(raw) != height * (row_bytes + 1):
         raise UnsupportedImageError("PNG data length mismatch")
-
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    filters = raw[:, 0]
-    out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at 8-bit depth
-
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes + 1)
+    filters = rows[:, 0]
+    out = np.zeros((height, row_bytes), dtype=np.uint8)
     for y in range(height):
-        line = raw[y, 1:].astype(np.int32)
+        line = rows[y, 1:].astype(np.int32)
         f = filters[y]
-        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(row_bytes, np.int32)
         if f == 0:
             cur = line
         elif f == 1:  # Sub
             cur = line.copy()
-            for x in range(bpp, stride):
+            for x in range(bpp, row_bytes):
                 cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
         elif f == 3:  # Average
             cur = line.copy()
-            for x in range(stride):
+            for x in range(row_bytes):
                 left = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             cur = line.copy()
-            for x in range(stride):
+            for x in range(row_bytes):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 c = prev[x - bpp] if x >= bpp else 0
@@ -169,8 +138,127 @@ def decode_png(data: bytes) -> np.ndarray:
         else:
             raise UnsupportedImageError(f"unknown PNG filter {f}")
         out[y] = cur.astype(np.uint8)
+    return out
 
-    return out.reshape(height, width, channels)
+
+def _png_samples(rows: np.ndarray, width: int, channels: int, depth: int) -> np.ndarray:
+    """(h, row_bytes) filtered bytes -> (h, width*channels) uint8
+    samples at the FILE's value range (sub-8 depths NOT yet scaled;
+    16-bit reduced to its high byte, the image crate's u8 rendering)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : width * channels]
+    if depth == 16:
+        return rows.reshape(h, -1)[:, : width * channels * 2][:, 0::2]
+    # 1/2/4-bit packed, MSB-first; only 1-sample color types use them.
+    bits = np.unpackbits(rows, axis=1)
+    per = depth
+    n = width  # channels == 1 for sub-byte depths
+    idx = np.arange(n * per).reshape(n, per)
+    vals = np.zeros((h, n), np.uint8)
+    for b in range(per):
+        vals = (vals << 1) | bits[:, idx[:, b]]
+    return vals
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to an HWC uint8 array.
+
+    Full baseline coverage, mirroring what the reference reads through
+    the ``image`` crate: color types 0/2/3/4/6, bit depths 1/2/4/8/16
+    (16-bit rendered to 8 via the high byte), PLTE + tRNS (palette
+    alpha and grey/RGB color-key transparency), all five scanline
+    filters, and Adam7 interlacing.
+    """
+    if data[:8] != _PNG_SIG:
+        raise UnsupportedImageError("not a PNG")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = trns = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = chunk
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    if color_type not in _PNG_CHANNELS:
+        raise UnsupportedImageError(f"unsupported PNG color type {color_type}")
+    if bit_depth not in (1, 2, 4, 8, 16) or (
+        bit_depth < 8 and color_type not in (0, 3)
+    ) or (bit_depth == 16 and color_type == 3):
+        raise UnsupportedImageError(
+            f"invalid PNG depth/type {bit_depth}/{color_type}"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    bytes_per_px = max(1, channels * bit_depth // 8)
+
+    def row_bytes(w):
+        return (w * channels * bit_depth + 7) // 8
+
+    raw = zlib.decompress(bytes(idat))
+    samples = np.zeros((height, width * channels), np.uint8)
+    if not interlace:
+        rows = _png_unfilter(raw, height, row_bytes(width), bytes_per_px)
+        samples = _png_samples(rows, width, channels, bit_depth)
+    elif interlace == 1:
+        off = 0
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (row_bytes(pw) + 1)
+            rows = _png_unfilter(raw[off:off + nbytes], ph, row_bytes(pw), bytes_per_px)
+            off += nbytes
+            ps = _png_samples(rows, pw, channels, bit_depth).reshape(ph, pw, channels)
+            samples.reshape(height, width, channels)[
+                y0::ys, x0::xs, :
+            ] = ps
+    else:
+        raise UnsupportedImageError(f"unknown PNG interlace {interlace}")
+
+    img = samples.reshape(height, width, channels)
+    if color_type == 3:
+        if plte is None:
+            raise UnsupportedImageError("palette PNG without PLTE")
+        idx = img[:, :, 0]
+        if idx.max() >= len(plte):
+            raise UnsupportedImageError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if bit_depth < 8:  # greyscale: scale to full 8-bit range
+        img = (img.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+    if trns is not None and color_type in (0, 2):
+        # Color-key transparency: tRNS holds 16-bit samples; compare at
+        # the file's precision reduced the same way the pixels were.
+        key = np.frombuffer(trns, ">u2").astype(np.uint16)
+        if bit_depth == 16:
+            key = (key >> 8).astype(np.uint8)
+        elif bit_depth < 8:
+            key = (key * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+        else:
+            key = key.astype(np.uint8)
+        match = np.all(img == key[None, None, :], axis=2)
+        alpha = np.where(match, 0, 255).astype(np.uint8)
+        return np.concatenate([img, alpha[:, :, None]], axis=2)
+    return img
 
 
 def encode_png(img: np.ndarray) -> bytes:
