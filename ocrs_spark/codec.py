@@ -142,14 +142,18 @@ def _png_unfilter(raw: bytes, height: int, row_bytes: int, bpp: int) -> np.ndarr
 
 
 def _png_samples(rows: np.ndarray, width: int, channels: int, depth: int) -> np.ndarray:
-    """(h, row_bytes) filtered bytes -> (h, width*channels) uint8
-    samples at the FILE's value range (sub-8 depths NOT yet scaled;
-    16-bit reduced to its high byte, the image crate's u8 rendering)."""
+    """(h, row_bytes) filtered bytes -> (h, width*channels) samples at
+    the FILE's value range (sub-8 depths NOT yet scaled; 16-bit kept at
+    full precision as uint16 so tRNS color-key matching can compare
+    exact samples per the PNG spec before reducing to 8-bit)."""
     h = rows.shape[0]
     if depth == 8:
         return rows[:, : width * channels]
     if depth == 16:
-        return rows.reshape(h, -1)[:, : width * channels * 2][:, 0::2]
+        be = rows.reshape(h, -1)[:, : width * channels * 2]
+        return (
+            (be[:, 0::2].astype(np.uint16) << 8) | be[:, 1::2].astype(np.uint16)
+        )
     # 1/2/4-bit packed, MSB-first; only 1-sample color types use them.
     bits = np.unpackbits(rows, axis=1)
     per = depth
@@ -209,7 +213,9 @@ def decode_png(data: bytes) -> np.ndarray:
         return (w * channels * bit_depth + 7) // 8
 
     raw = zlib.decompress(bytes(idat))
-    samples = np.zeros((height, width * channels), np.uint8)
+    samples = np.zeros(
+        (height, width * channels), np.uint16 if bit_depth == 16 else np.uint8
+    )
     if not interlace:
         rows = _png_unfilter(raw, height, row_bytes(width), bytes_per_px)
         samples = _png_samples(rows, width, channels, bit_depth)
@@ -246,18 +252,23 @@ def decode_png(data: bytes) -> np.ndarray:
     if bit_depth < 8:  # greyscale: scale to full 8-bit range
         img = (img.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
     if trns is not None and color_type in (0, 2):
-        # Color-key transparency: tRNS holds 16-bit samples; compare at
-        # the file's precision reduced the same way the pixels were.
+        # Color-key transparency: tRNS holds 16-bit samples. The PNG
+        # spec requires the match against the FULL-precision sample
+        # values, so for 16-bit images compare before the 8-bit
+        # reduction; sub-8 depths were scaled injectively, so the key
+        # is scaled the same way and compared after.
         key = np.frombuffer(trns, ">u2").astype(np.uint16)
-        if bit_depth == 16:
-            key = (key >> 8).astype(np.uint8)
-        elif bit_depth < 8:
+        if bit_depth < 8:
             key = (key * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
-        else:
+        elif bit_depth == 8:
             key = key.astype(np.uint8)
         match = np.all(img == key[None, None, :], axis=2)
+        if bit_depth == 16:
+            img = (img >> 8).astype(np.uint8)
         alpha = np.where(match, 0, 255).astype(np.uint8)
         return np.concatenate([img, alpha[:, :, None]], axis=2)
+    if bit_depth == 16:  # render to 8-bit via the high byte (image crate)
+        img = (img >> 8).astype(np.uint8)
     return img
 
 
@@ -306,6 +317,6 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return decode_webp(data)
     raise UnsupportedImageError(
-        "unsupported image format (RAWI, RLEI, PNG, baseline JPEG and "
-        "lossless WebP supported)"
+        "unsupported image format (RAWI, RLEI, PNG, baseline/progressive "
+        "JPEG, and lossless + lossy WebP supported)"
     )

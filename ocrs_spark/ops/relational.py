@@ -334,17 +334,34 @@ def q7_volume_shipping(spark, sf_dir):
     nation, cust, orders, li, supp = load_tables(
         spark, sf_dir, "nation", "customer", "orders", "lineitem", "supplier"
     )
-    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    # Catalyst cannot push a cross-side disjunction below the joins, so
+    # pre-filter BOTH nation branches to the two named nations before any
+    # fact join: supplier/customer rows outside the pair die at the first
+    # (broadcast) join instead of surviving li⋈supp⋈orders⋈cust. The
+    # symmetric-pair disjunction stays post-join only to drop the two
+    # same-nation combinations.
+    names = ["NATION_1", "NATION_2"]
+    n1 = F.broadcast(
+        nation.filter(F.col("n_name").isin(names))
+        .select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = F.broadcast(
+        nation.filter(F.col("n_name").isin(names))
+        .select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    )
+    supp2 = supp.join(n1, F.col("s_nationkey") == F.col("sn_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust2 = cust.join(n2, F.col("c_nationkey") == F.col("cn_key")).select(
+        "c_custkey", "cust_nation"
+    )
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp2, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
-        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .join(cust2, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -679,11 +696,12 @@ LIMIT 20
 
 def q12_ship_delay_priority(spark, sf_dir):
     """TPC-H Q12 shape: bucket lineitems by ship delay (days from order
-    to ship date, tz-independent timestampdiff) and count high- vs
+    to ship date, day-BOUNDARY crossings so it matches DuckDB's
+    date_diff('day', ...) regardless of time-of-day) and count high- vs
     low-priority orders per bucket with conditional aggregation."""
     orders, li = load_tables(spark, sf_dir, "orders", "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
-    delay = F.expr("timestampdiff(DAY, o_orderdate, l_shipdate)")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
     bucket = (
         F.when(delay <= 30, "fast")
         .when(delay <= 60, "normal")
@@ -1047,7 +1065,11 @@ def q21_waiting_suppliers(spark, sf_dir):
         orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     ).withColumn(
-        "is_late", F.expr("timestampdiff(DAY, o_orderdate, l_shipdate) > 60")
+        # Day-boundary diff (not full 24h periods) so parity with the
+        # DuckDB oracle's date_diff('day', ...) holds for non-midnight
+        # timestamps too.
+        "is_late",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60,
     )
     late = fli.filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
     others = fli.select(

@@ -25,6 +25,7 @@ the relational glue around the UDF.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -154,6 +155,27 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "span.kind", "span.text", "span.media_ref", "span.offset")
 
 
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_byte_size(value: str) -> int | None:
+    """Parse Spark byte-size strings ('10485760', '10m', '64MB', '-1')
+    the way JavaUtils.byteStringAsBytes does. Returns None when the
+    value is unparseable rather than guessing."""
+    s = str(value).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([a-z]*)", s)
+    if not m or m.group(2) not in _BYTE_SUFFIXES:
+        return None
+    return int(m.group(1)) * _BYTE_SUFFIXES[m.group(2)]
+
+
 def _media_fits_broadcast(media: DataFrame) -> bool:
     """Decide the fan-out strategy with one narrow aggregate over the
     payload column. Catalyst's own size estimate is unusable here
@@ -164,9 +186,9 @@ def _media_fits_broadcast(media: DataFrame) -> bool:
     deciding aggregate reads one column of the (already deduplicated-
     by-nature) media table and is dwarfed by the OCR stage it gates."""
     spark = media.sparkSession
-    try:
-        thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except Exception:
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    thresh = _parse_byte_size(raw)
+    if thresh is None:  # unparseable user value: fall back to Spark's default
         thresh = 10 * 1024 * 1024
     if thresh <= 0:
         return False

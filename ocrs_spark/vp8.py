@@ -540,12 +540,6 @@ def _filter_common(p1, p0, q0, q1, mask, hev, use_outer):
     return p0n, q0n, f1
 
 
-def _apply_normal_subblock(px):
-    """px: (8, n) int16 lanes p3..q3, centered at 0. Returns updated."""
-    p3, p2, p1, p0, q0, q1, q2, q3 = px
-    return p3, p2, p1, p0, q0, q1, q2, q3
-
-
 def _normal_filter_edge(seg, lim, blim, thresh, mb_edge):
     """seg: (n, 8) int16 raw pixel lanes [p3 p2 p1 p0 q0 q1 q2 q3].
     Returns the filtered lanes (same shape). Implements vp8_filter /

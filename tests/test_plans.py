@@ -106,6 +106,38 @@ def test_media_broadcast_decision_is_size_aware(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_parse_byte_size_suffixes():
+    """Size-suffixed threshold values ('10m', '64MB') must be honored,
+    not silently replaced by the 10MB default (ADVICE r4)."""
+    from ocrs_spark.pipeline import _parse_byte_size
+
+    assert _parse_byte_size("10485760") == 10 * 1024 * 1024
+    assert _parse_byte_size("10m") == 10 * 1024 * 1024
+    assert _parse_byte_size("64MB") == 64 * 1024 * 1024
+    assert _parse_byte_size(" 2g ") == 2 * 1024 * 1024 * 1024
+    assert _parse_byte_size("-1") == -1
+    assert _parse_byte_size("1k") == 1024
+    assert _parse_byte_size("nonsense") is None
+    assert _parse_byte_size("10q") is None
+
+
+def test_media_broadcast_honors_suffixed_threshold(spark):
+    """A user-set '64b'-style threshold (too small for any payload) must
+    disable the broadcast path rather than being ignored."""
+    from ocrs_spark.fixtures import corpus_to_spark, generate_corpus
+    from ocrs_spark.pipeline import _media_fits_broadcast
+
+    _, media, _ = corpus_to_spark(spark, generate_corpus(n_docs=4))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+        assert not _media_fits_broadcast(media.select("media_ref", "bytes"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "512m")
+        assert _media_fits_broadcast(media.select("media_ref", "bytes"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_explode_prunes_media_bytes(spark):
     from ocrs_spark.fixtures import corpus_to_spark, generate_corpus
 

@@ -124,3 +124,33 @@ def test_adam7_interlaced_palette_small():
     data = _png_interlaced(3, 2, 8, 3, bytes(stream), [(b"PLTE", plte.tobytes())])
     out = decode_png(data)
     assert np.array_equal(out, plte[idx])
+
+
+def test_16bit_colorkey_trns_exact_match():
+    # PNG spec: the tRNS color key matches FULL 16-bit samples. A pixel
+    # sharing only the key's high byte must stay opaque; only the exact
+    # 16-bit value becomes transparent.
+    w, h = 3, 1
+    key = 0x1234
+    px = np.array([[0x1234, 0x12FF, 0x9999]], ">u2").reshape(h, w, 1)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    data = _png(w, h, 16, 0, raw, [(b"tRNS", struct.pack(">H", key))])
+    out = decode_png(data)
+    assert out.shape == (h, w, 2)
+    # high-byte rendering of the grey channel
+    assert list(out[0, :, 0]) == [0x12, 0x12, 0x99]
+    # only the exact 16-bit match is transparent
+    assert list(out[0, :, 1]) == [0, 255, 255]
+
+
+def test_16bit_rgb_colorkey_trns_exact_match():
+    w, h = 2, 1
+    key = (0x0102, 0x0304, 0x0506)
+    px = np.array(
+        [[[0x0102, 0x0304, 0x0506], [0x0102, 0x0304, 0x05FF]]], ">u2"
+    ).reshape(h, w, 3)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    data = _png(w, h, 16, 2, raw, [(b"tRNS", struct.pack(">HHH", *key))])
+    out = decode_png(data)
+    assert out.shape == (h, w, 4)
+    assert list(out[0, :, 3]) == [0, 255]
