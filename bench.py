@@ -64,7 +64,9 @@ HEADLINE = [
     "lang_id_markers",
     "quality_score",
     "token_counts",
+    "text_profile",
     "doc_fingerprint",
+    "doc_signatures",
     "tfidf_top_terms",
     "multimodal_decode_meta",
     "events_sessionize",

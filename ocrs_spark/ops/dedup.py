@@ -397,11 +397,38 @@ SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {COSINE_THRESHOLD}
 ORACLE_EMB_COSINE = _emb_cosine_oracle()
 
 
+def doc_signatures(spark, sf_dir):
+    """Per-document dedup signatures: frequency-weighted SimHash and the
+    bottom-k shingle fingerprint in one contract row (the individual
+    queries remain pytest-checked; this is the driver-contract
+    consolidation). Two per-doc aggregates joined on doc_id — both
+    sides are already partitioned by the join key, so the join is
+    co-located at scale."""
+    from .textstats import doc_fingerprint
+
+    sim = simhash_docs(spark, sf_dir)
+    fp = doc_fingerprint(spark, sf_dir)
+    return sim.join(fp, "doc_id").select("doc_id", "simhash", "fingerprint")
+
+
+def _doc_signatures_sql() -> str:
+    from .textstats import ORACLE_FINGERPRINT
+
+    return f"""
+SELECT s.doc_id, s.simhash, f.fingerprint
+FROM ({ORACLE_SIMHASH}) s JOIN ({ORACLE_FINGERPRINT}) f ON s.doc_id = f.doc_id
+"""
+
+
+ORACLE_DOC_SIGNATURES = _doc_signatures_sql()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_lsh_buckets": minhash_lsh_buckets,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_docs": simhash_docs,
+    "doc_signatures": doc_signatures,
     "embedding_cosine_pairs": embedding_cosine_pairs,
 }
 
@@ -410,5 +437,6 @@ ORACLES = {
     "minhash_lsh_buckets": ORACLE_MINHASH,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
     "simhash_docs": ORACLE_SIMHASH,
+    "doc_signatures": ORACLE_DOC_SIGNATURES,
     "embedding_cosine_pairs": ORACLE_EMB_COSINE,
 }

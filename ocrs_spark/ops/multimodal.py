@@ -28,7 +28,8 @@ from ..matcache import materialize_once
 
 META_SCHEMA = (
     "doc_id bigint, fmt string, width int, height int, channels int, "
-    "decoded_bytes bigint, mean_pixel double, checksum bigint"
+    "decoded_bytes bigint, mean_pixel double, checksum bigint, "
+    "n_frames int, sampled string"
 )
 
 PAYLOAD_SCHEMA = "doc_id bigint, fmt string, payload binary"
@@ -98,7 +99,7 @@ def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
     pretouch_arena(64)
     cols = ("doc_id", "fmt", "width", "height", "channels",
-            "decoded_bytes", "mean_pixel", "checksum")
+            "decoded_bytes", "mean_pixel", "checksum", "n_frames", "sampled")
     for pdf in batches:
         out = {k: [] for k in cols}
         # Per-payload loop is irreducible here: each row is an
@@ -106,8 +107,9 @@ def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         # (exactly what a real corpus demands); Arrow still delivers
         # the rows to Python in vectorized batches.
         for doc_id, fmt, payload in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+            doc_id = int(doc_id)
             img = decode_image(bytes(payload))  # magic-byte dispatch, real decode
-            out["doc_id"].append(int(doc_id))
+            out["doc_id"].append(doc_id)
             out["fmt"].append(str(fmt))
             out["width"].append(img.shape[1])
             out["height"].append(img.shape[0])
@@ -115,6 +117,14 @@ def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             out["decoded_bytes"].append(int(img.size))
             out["mean_pixel"].append(round(float(img.mean()), 3))
             out["checksum"].append(int(img.astype(np.int64).sum() % 997))
+            # Stride-2 frame sampling over the synthetic per-doc frame
+            # count (video decode stays stubbed — no ffmpeg in the
+            # container; the sampling plumbing is the tested part).
+            n_frames = doc_id % 7 + 1
+            out["n_frames"].append(n_frames)
+            out["sampled"].append(
+                ",".join(str(i) for i in range(0, n_frames, 2))
+            )
         yield pd.DataFrame(out)
 
 
@@ -144,7 +154,9 @@ SELECT doc_id,
        3::INT AS channels,
        ((n_chars % 64 + 16) * ((doc_id * 7) % 48 + 16) * 3)::BIGINT AS decoded_bytes,
        round((doc_id % 251) * 1.0, 3) AS mean_pixel,
-       (((n_chars % 64 + 16) * ((doc_id * 7) % 48 + 16) * 3 * (doc_id % 251)) % 997)::BIGINT AS checksum
+       (((n_chars % 64 + 16) * ((doc_id * 7) % 48 + 16) * 3 * (doc_id % 251)) % 997)::BIGINT AS checksum,
+       (doc_id % 7 + 1)::INT AS n_frames,
+       array_to_string([i for i in range(0, (doc_id % 7 + 1)::INT, 2)], ',') AS sampled
 FROM documents
 """
 

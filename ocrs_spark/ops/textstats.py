@@ -178,6 +178,79 @@ FROM ranked WHERE rn <= {_FINGERPRINT_K} GROUP BY doc_id
 
 
 
+def text_profile(spark, sf_dir):
+    """One-scan per-document text profile: language ID, quality
+    features, and both token counts fused into a single narrow
+    projection. This is the driver-contract consolidation of
+    ``lang_id_markers`` / ``quality_score`` / ``token_counts`` (each
+    still exposed and oracle-tested individually in pytest) — and one
+    pass over the corpus instead of three is also the plan a 100-TB
+    profiling job wants."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    names = sorted(LEXICONS)
+    df = docs
+    for name in names:
+        df = df.withColumn(f"c_{name}", _marker_count(LEXICONS[name]))
+    best = F.greatest(*[F.col(f"c_{n}") for n in names])
+    pred = F.when(best == 0, F.lit("und"))
+    for n in names:
+        pred = pred.when(F.col(f"c_{n}") == best, F.lit(n))
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = _marker_count(_STOPWORDS)
+    mean_tok = F.round(
+        F.length(F.regexp_replace("text", " ", "")) / n_tokens, 3
+    )
+    stop_ratio = F.round(n_stop / n_tokens, 3)
+    return df.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_tokens >= 10) & (n_tokens <= 200) & (stop_ratio > 0.02)).alias("keep"),
+        F.size(F.split(F.trim(F.col("text")), "\\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("long")
+        .alias("re_tokens"),
+    )
+
+
+def _duck_profile_sql() -> str:
+    names = sorted(LEXICONS)
+    counts = ", ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({_in_list(LEXICONS[n])}))) AS c_{n}"
+        for n in names
+    )
+    best = f"greatest({', '.join('c_' + n for n in names)})"
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN c_{n} = best THEN '{n}'" for n in names
+    ) + " END"
+    stop = (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({_in_list(_STOPWORDS)})))"
+    )
+    return f"""
+WITH counts AS (SELECT doc_id, text, {counts} FROM documents),
+scored AS (SELECT *, {best} AS best FROM counts)
+SELECT doc_id, {case} AS pred_lang, best AS marker_hits,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 3) AS mean_token_len,
+       round({stop} / len(string_split(text, ' ')), 3) AS stopword_ratio,
+       (len(string_split(text, ' ')) BETWEEN 10 AND 200
+        AND round({stop} / len(string_split(text, ' ')), 3) > 0.02) AS keep,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS re_tokens
+FROM scored
+"""
+
+
+ORACLE_TEXT_PROFILE = _duck_profile_sql()
+
+
 def tfidf_top_terms(spark, sf_dir):
     """Top-3 terms per document by TF-IDF (tf * ln(N / df), rounded to
     6): the classic training-corpus keyword/feature extraction op. All
@@ -230,6 +303,7 @@ QUERIES = {
     "lang_id_markers": lang_id_markers,
     "quality_score": quality_score,
     "token_counts": token_counts,
+    "text_profile": text_profile,
     "doc_fingerprint": doc_fingerprint,
     "tfidf_top_terms": tfidf_top_terms,
 }
@@ -238,6 +312,7 @@ ORACLES = {
     "lang_id_markers": ORACLE_LANG_ID,
     "quality_score": ORACLE_QUALITY,
     "token_counts": ORACLE_TOKEN_COUNTS,
+    "text_profile": ORACLE_TEXT_PROFILE,
     "doc_fingerprint": ORACLE_FINGERPRINT,
     "tfidf_top_terms": ORACLE_TFIDF,
 }

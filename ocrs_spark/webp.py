@@ -576,27 +576,72 @@ def decode_vp8l(payload: bytes) -> tuple[int, int, bool, list[int]]:
     return w, h, alpha_used, _decode_stream(br, w, h, True)
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a WebP file (lossless VP8L or lossy VP8 keyframe) to an
-    HWC uint8 array (RGB, or RGBA when any pixel is non-opaque)."""
-    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise UnsupportedImageError("not a WebP file")
-    pos = 12
-    payload = None
+def _iter_chunks(data: bytes, pos: int):
+    """Yield (fourcc, body) over a RIFF chunk sequence (even-padded)."""
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8L":
-            payload = body
-            break
-        if fourcc == b"VP8 ":
-            from .vp8 import decode_vp8, yuv420_to_rgb
+        yield fourcc, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
 
-            return yuv420_to_rgb(*decode_vp8(body))
-        pos += 8 + size + (size & 1)  # chunks are even-padded
-    if payload is None:
-        raise UnsupportedImageError("no VP8L chunk in WebP file")
+
+def _decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """Decode an ALPH chunk -> (h, w) uint8 alpha plane.
+
+    Header byte: rsv(2) | P preprocessing(2) | F filtering(2) |
+    C compression(2). C=0 raw bytes, C=1 headerless VP8L stream whose
+    GREEN channel carries the alpha values; filtering is the per-pixel
+    left/above/gradient predictor applied after decompression.
+    Preprocessing (level reduction) is encoder-side only."""
+    if not body:
+        raise UnsupportedImageError("empty ALPH chunk")
+    head = body[0]
+    filt = (head >> 2) & 0x3
+    comp = head & 0x3
+    if comp == 0:
+        if len(body) < 1 + w * h:
+            raise UnsupportedImageError("short raw ALPH chunk")
+        plane = np.frombuffer(body, np.uint8, count=w * h, offset=1).copy()
+    elif comp == 1:
+        argb = _decode_stream(_BitReader(body, 1), w, h, True)
+        plane = (
+            (np.array(argb, dtype=np.uint32).reshape(-1) >> 8) & 0xFF
+        ).astype(np.uint8)
+    else:
+        raise UnsupportedImageError(f"unknown ALPH compression {comp}")
+    plane = plane.reshape(h, w).astype(np.int64)
+    if filt == 0:
+        pass
+    elif filt == 1:
+        # Horizontal: pred = left (first col: above; (0,0): 0). The
+        # reconstruction is an exact prefix sum mod 256: first column
+        # chains vertically, then each row accumulates rightward.
+        plane[:, 0] = np.cumsum(plane[:, 0]) & 0xFF
+        plane = np.cumsum(plane, axis=1) & 0xFF
+    elif filt == 2:
+        # Vertical: pred = above (first row: left; (0,0): 0) — the
+        # transpose of the horizontal case.
+        plane[0, :] = np.cumsum(plane[0, :]) & 0xFF
+        plane = np.cumsum(plane, axis=0) & 0xFF
+    else:  # gradient: clip(left + above - topleft)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = plane[0, x - 1]
+                elif x == 0:
+                    pred = plane[y - 1, 0]
+                else:
+                    pred = min(
+                        255,
+                        max(0, plane[y, x - 1] + plane[y - 1, x] - plane[y - 1, x - 1]),
+                    )
+                plane[y, x] = (plane[y, x] + pred) & 0xFF
+    return plane.astype(np.uint8)
+
+
+def _vp8l_to_array(payload: bytes) -> np.ndarray:
     w, h, _, argb = decode_vp8l(payload)
     arr = np.array(argb, dtype=np.uint32).reshape(h, w)
     a = (arr >> 24).astype(np.uint8)
@@ -606,6 +651,57 @@ def decode_webp(data: bytes) -> np.ndarray:
     if np.all(a == 255):
         return np.stack([r, g, b], axis=-1)
     return np.stack([r, g, b, a], axis=-1)
+
+
+def _decode_image_chunks(chunks) -> np.ndarray:
+    """Decode a (ALPH?, VP8|VP8L) sub-chunk sequence — the image-data
+    layout shared by plain files, VP8X stills, and ANMF frames."""
+    alph = None
+    for fourcc, body in chunks:
+        if fourcc == b"ALPH":
+            alph = body
+        elif fourcc == b"VP8L":
+            return _vp8l_to_array(body)  # VP8L carries its own alpha
+        elif fourcc == b"VP8 ":
+            from .vp8 import decode_vp8, yuv420_to_rgb
+
+            rgb = yuv420_to_rgb(*decode_vp8(body))
+            if alph is not None:
+                h, w = rgb.shape[:2]
+                a = _decode_alph(alph, w, h)
+                return np.concatenate([rgb, a[:, :, None]], axis=2)
+            return rgb
+    raise UnsupportedImageError("no VP8/VP8L chunk in WebP file")
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a WebP file to an HWC uint8 array (RGB, or RGBA when any
+    pixel is non-opaque): lossless VP8L, lossy VP8 keyframes, and VP8X
+    extended files (ALPH alpha plane over lossy; animation stills =
+    first ANMF frame) — the still-image surface the reference reads
+    through the ``image`` crate (ocrs-cli/Cargo.toml:12)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise UnsupportedImageError("not a WebP file")
+    chunks = list(_iter_chunks(data, 12))
+    for fourcc, body in chunks:
+        if fourcc != b"VP8X":
+            continue
+        # Extended container: flags byte (rsv2 I L E X A R), 3 reserved
+        # bytes, canvas w-1/h-1 as 24-bit LE. Stills carry (ALPH?,
+        # VP8|VP8L) at the top level; animations carry ANMF frames
+        # whose payload repeats the same image-data layout.
+        if len(body) < 10:
+            raise UnsupportedImageError("short VP8X chunk")
+        animated = bool(body[0] & 0x02)
+        if not animated:
+            return _decode_image_chunks(chunks)
+        for fc, fb in chunks:
+            if fc == b"ANMF":
+                # 16-byte frame header (x/y/w-1/h-1/duration/flags),
+                # then the frame's image sub-chunks.
+                return _decode_image_chunks(_iter_chunks(fb, 16))
+        raise UnsupportedImageError("animated WebP without ANMF frame")
+    return _decode_image_chunks(chunks)
 
 
 # ------------------------------------------------------------- encoder

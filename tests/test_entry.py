@@ -12,7 +12,10 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_entry_contract_shapes():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
-    assert len(q) >= 25
+    # The driver sweep records at most 50 rows; the contract is
+    # consolidated to exactly 50 so every entry gets a hard
+    # CORRECTNESS row every round (folded variants stay pytest-only).
+    assert len(q) == 50
     assert set(o) - set(q) == set()
     # Every query has a DuckDB oracle — no rows-only entries left.
     # Oracle-less entries are allowed by the driver contract only for

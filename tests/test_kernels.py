@@ -292,6 +292,23 @@ def test_ctc_greedy():
     assert steps == [(1, 3), (4, 3), (5, 5)]
 
 
+def test_ctc_beam_beats_greedy_on_path_merge_fixture():
+    """The canonical case where beam and greedy genuinely differ
+    (rten CtcDecoder::decode_beam semantics, recognition.rs:512-514):
+    two frames, P(blank)=0.6 / P(a)=0.4 each. Greedy takes the
+    per-frame argmax (blank, blank) -> ''. Beam sums paths per prefix:
+      prefix a@t0: (a,blank)=0.24 + (a,a)=0.16        -> 0.40
+      prefix ''  : (blank,blank)                      -> 0.36
+      prefix a@t1: (blank,a)                          -> 0.24
+    so the best hypothesis is 'a' emitted at frame 0 — hand-computed,
+    not compared against greedy."""
+    logits = np.log(np.array([[0.6, 0.4], [0.6, 0.4]], dtype=np.float64))
+    assert decode_greedy(logits) == []
+    assert decode_beam(logits, 100) == [(0, 1)]
+    # Tighter beams that still hold both prefixes agree.
+    assert decode_beam(logits, 2) == [(0, 1)]
+
+
 def test_ctc_beam_matches_greedy_on_peaky_input():
     rng = np.random.default_rng(42)
     logits = rng.normal(size=(12, 10)).astype(np.float32) * 5
