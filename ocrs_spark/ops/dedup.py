@@ -174,7 +174,19 @@ FROM bands GROUP BY 1, 2 HAVING count(DISTINCT doc_id) > 1
 
 def ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup pairs: LSH candidates verified with exact Jaccard over
-    distinct word-unigram sets (candidates only — never all-pairs)."""
+    distinct word-unigram sets (candidates only — never all-pairs).
+    Landed to parquet once per (session, sf_dir): the verified-pair
+    table is a real pipeline's durable artifact, consumed both directly
+    and by corpus curation (``skew.curate_training_corpus``) — the
+    expensive verify join should not re-run per consumer."""
+    from ..matcache import materialize_once
+
+    return materialize_once(
+        spark, sf_dir, "jaccard_pairs", lambda: _ngram_jaccard_plan(spark, sf_dir)
+    )
+
+
+def _ngram_jaccard_plan(spark, sf_dir):
     bands = _bands_df(spark, sf_dir).select("band_index", "band_hash", "doc_id")
     cand = (
         bands.alias("a")
