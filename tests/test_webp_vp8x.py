@@ -152,3 +152,79 @@ def test_animation_still_decodes_first_frame():
         _chunk(b"ANMF", anmf),
     )
     assert np.array_equal(decode_webp(data), plain)
+
+
+FIXDIR = __file__.rsplit("/", 1)[0] + "/fixtures/vp8x"
+
+
+def test_committed_alpha_fixture_decodes_to_stored_pixels():
+    """Committed VP8X (ALPH gradient-filtered + lossy VP8) fixture
+    decodes to the exact stored pixels, and its thresholded RGB OCRs to
+    the same text as the clean word image (the fake recognition model
+    reads rows as class log-probs, so lossy noise is thresholded first,
+    as in test_vp8's lossy OCR test)."""
+    from ocrs_spark import (
+        FakeDetectionModel,
+        FakeRecognitionModel,
+        OcrEngine,
+        OcrEngineParams,
+    )
+    from ocrs_spark.fixtures import make_word_image
+    from ocrs_spark.models import fake_alphabet
+
+    data = open(f"{FIXDIR}/word2_alpha.webp", "rb").read()
+    out = decode_image(data)
+    expected = np.load(f"{FIXDIR}/word2_alpha_decoded.npy")
+    assert np.array_equal(out, expected)
+    assert out.shape[2] == 4
+    assert out[0, 0, 3] == 200 and out[-1, -1, 3] == 255  # ALPH applied
+    clean = np.where(out[:, :, :3] > 127, 255, 0).astype(np.uint8)
+    assert np.array_equal(clean, make_word_image(2))
+    eng = OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            recognition_model=FakeRecognitionModel(),
+            alphabet=fake_alphabet(),
+        )
+    )
+    assert eng.get_text(eng.prepare_input(clean)) == "77"
+
+
+def test_vp8x_fixture_ocrs_through_spark_pipeline(spark):
+    """The committed lossless VP8X fixture runs through the distributed
+    OCR pipeline (explode -> dedup media -> mapInPandas -> reweave) and
+    produces the exact golden text — VP8X media is a first-class citizen
+    of the flagship path, not just the codec layer."""
+    from ocrs_spark.fixtures import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+    from ocrs_spark.pipeline import explode_spans, ocr_image_spans
+
+    data = open(f"{FIXDIR}/word2_lossless.webp", "rb").read()
+    img = decode_image(data)
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": "d1",
+                "spans": [
+                    {"kind": "text", "text": "before", "media_ref": None, "offset": 0},
+                    {"kind": "image", "text": None, "media_ref": "m-vp8x", "offset": 1},
+                ],
+            }
+        ],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    media = spark.createDataFrame(
+        [
+            {
+                "media_ref": "m-vp8x",
+                "bytes": data,
+                "width": int(img.shape[1]),
+                "height": int(img.shape[0]),
+                "channels": int(img.shape[2]),
+            }
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    rows = ocr_image_spans(explode_spans(docs), media, {"kind": "fake"}).collect()
+    assert len(rows) == 1
+    assert rows[0].error is None
+    assert rows[0].ocr_text == "77"
