@@ -55,20 +55,43 @@ def build_engine(args) -> OcrEngine:
     )
 
 
+VERSION = "0.1.0"  # mirrors the reference CLI's --version surface
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ocrs_spark.cli", description=__doc__)
-    p.add_argument("image", help="input image path (PNG or RAWI), or '-' for stdin")
+    p.add_argument(
+        "image", nargs="?", help="input image path (PNG or RAWI), or '-' for stdin"
+    )
     p.add_argument("-o", "--output", help="output file (default stdout)")
-    p.add_argument("--json", action="store_true", help="emit HierText-style JSON")
+    p.add_argument("-j", "--json", action="store_true", help="emit HierText-style JSON")
     p.add_argument("--beam", action="store_true", help="beam-search decode (width 100)")
-    p.add_argument("--alphabet")
+    p.add_argument("-a", "--alphabet")
     p.add_argument("--allowed-chars")
+    p.add_argument("--debug", action="store_true", help="print word/line debug summary")
+    p.add_argument(
+        "--version", action="version", version=f"ocrs_spark {VERSION}"
+    )
+    p.add_argument(
+        "-c",
+        "--clipboard",
+        action="store_true",
+        help="read image from the system clipboard (unsupported headless)",
+    )
     p.add_argument("--detect-model", help="path to detection ONNX model")
     p.add_argument("--rec-model", help="path to recognition ONNX model")
     p.add_argument("--fake-models", action="store_true", help="use hermetic fake models")
     p.add_argument("--text-map", help="write raw text probability map PNG here")
     p.add_argument("--text-mask", help="write thresholded text mask PNG here")
-    p.add_argument("--png", help="write annotated PNG (line + word boxes) here")
+    p.add_argument(
+        "-p",
+        "--png",
+        nargs="?",
+        const="",
+        metavar="PATH",
+        help="write annotated PNG (line + word boxes); with no PATH, "
+        "requires -o, matching the reference's `-p ... -o out.png`",
+    )
     p.add_argument("--webp", help="write annotated lossless WebP here")
     p.add_argument("--webp-lossy", help="write annotated lossy (VP8) WebP here")
     p.add_argument(
@@ -80,6 +103,23 @@ def main(argv=None) -> int:
         "DIR/line-<i>.png (default DIR: lines/)",
     )
     args = p.parse_args(argv)
+
+    # Mirror the reference's clipboard/image-arg validation
+    # (ocrs-cli/src/main.rs:273-284,360-363): clipboard excludes an
+    # image path, and this build (headless sandbox) has no clipboard
+    # backend — same error shape as a reference build without the
+    # clipboard feature.
+    if args.clipboard and args.image:
+        raise SystemExit("cannot use both --clipboard and an image path")
+    if args.clipboard:
+        raise SystemExit(
+            "ocrs_spark was built without clipboard support (headless "
+            "environment); pass an image path or pipe to stdin"
+        )
+    if not args.image:
+        raise SystemExit("missing `<image>` arg (or use --clipboard / pipe to stdin)")
+    if args.png == "" and not args.output:
+        raise SystemExit("Output path must be specified when generating annotated PNG")
 
     data = sys.stdin.buffer.read() if args.image == "-" else open(args.image, "rb").read()
     img = decode_image(data)
@@ -114,12 +154,22 @@ def main(argv=None) -> int:
 
     recognized = engine.recognize_text(grey, lines)
 
-    if args.png or args.webp or args.webp_lossy:
+    if args.debug:
+        # Same summary the reference prints under --debug
+        # (ocrs-cli/src/main.rs:486-494).
+        print(
+            f"Found {len(words)} words, {len(lines)} lines in image of "
+            f"size {grey.shape[1]}x{grey.shape[0]}",
+            file=sys.stderr,
+        )
+
+    if args.png is not None or args.webp or args.webp_lossy:
         from .output import generate_annotated_image
 
         annotated = generate_annotated_image(img, lines, recognized)
-        if args.png:
-            with open(args.png, "wb") as f:
+        if args.png is not None:
+            png_path = args.png or args.output
+            with open(png_path, "wb") as f:
                 f.write(encode_png(annotated))
         if args.webp:
             from .webp import encode_webp
@@ -131,6 +181,11 @@ def main(argv=None) -> int:
 
             with open(args.webp_lossy, "wb") as f:
                 f.write(encode_webp_lossy(annotated, qindex=8))
+
+    if args.png == "":
+        # Reference `-p` semantics: PNG IS the output format; the
+        # annotated image was already written to --output above.
+        return 0
 
     if args.json:
         out = format_json_output(args.image, grey.shape, recognized)

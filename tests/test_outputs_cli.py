@@ -150,3 +150,41 @@ def test_cli_text_line_images_sink(tmp_path):
     # Fake recognition model input height is 64 (models.py:65).
     assert crop.ndim == 2 and crop.shape[0] == 64
     assert crop.max() > 200 and crop.min() < 50  # real content, both poles
+
+
+def test_cli_reference_parity_flags(tmp_path):
+    """Round-5 parity surface: --version, --debug summary line, -p as an
+    output FORMAT routed to -o (ocrs-cli/src/main.rs:471-483), clipboard
+    validation errors (main.rs:273-284,360-363)."""
+    img_path = tmp_path / "w.png"
+    img_path.write_bytes(encode_png(make_word_image(2)))
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "ocrs_spark.cli", *args],
+            capture_output=True,
+            text=True,
+        )
+
+    r = run("--version")
+    assert r.returncode == 0 and r.stdout.startswith("ocrs_spark ")
+
+    r = run(str(img_path), "--fake-models", "--debug")
+    assert r.returncode == 0
+    assert r.stdout.strip() == "77"
+    assert "Found 2 words, 1 lines in image of size 200x100" in r.stderr
+
+    out_png = tmp_path / "ann.png"
+    r = run(str(img_path), "--fake-models", "-p", "-o", str(out_png))
+    assert r.returncode == 0
+    assert out_png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+    r = run(str(img_path), "--fake-models", "-p")  # -p format needs -o
+    assert r.returncode != 0 and "Output path" in r.stderr
+
+    r = run("--clipboard", str(img_path))
+    assert r.returncode != 0 and "cannot use both" in r.stderr
+    r = run("--clipboard")
+    assert r.returncode != 0 and "clipboard" in r.stderr
+    r = run()
+    assert r.returncode != 0 and "missing" in r.stderr
