@@ -609,35 +609,58 @@ def _decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
         ).astype(np.uint8)
     else:
         raise UnsupportedImageError(f"unknown ALPH compression {comp}")
-    plane = plane.reshape(h, w).astype(np.int64)
+    plane = plane.reshape(h, w)
     if filt == 0:
         pass
     elif filt == 1:
         # Horizontal: pred = left (first col: above; (0,0): 0). The
         # reconstruction is an exact prefix sum mod 256: first column
         # chains vertically, then each row accumulates rightward.
+        plane = plane.astype(np.int64)
         plane[:, 0] = np.cumsum(plane[:, 0]) & 0xFF
         plane = np.cumsum(plane, axis=1) & 0xFF
     elif filt == 2:
         # Vertical: pred = above (first row: left; (0,0): 0) — the
         # transpose of the horizontal case.
+        plane = plane.astype(np.int64)
         plane[0, :] = np.cumsum(plane[0, :]) & 0xFF
         plane = np.cumsum(plane, axis=0) & 0xFF
-    else:  # gradient: clip(left + above - topleft)
+    else:
+        # Gradient: pred = clip(left + above - topleft). The recurrence
+        # is sequential per pixel, but every cell on anti-diagonal
+        # y + x = d depends only on diagonals d-1 (left, above) and d-2
+        # (topleft). Skewing the plane (row y shifted right by y) turns
+        # anti-diagonals into contiguous COLUMNS, so the whole image
+        # decodes in O(w + h) vectorized column steps instead of
+        # O(w * h) Python-interpreted ones (first row chains on left,
+        # first column on above, like the directional filters).
+        first_row = (np.cumsum(plane[0, :], dtype=np.int64) & 0xFF).astype(np.int16)
+        first_col = (np.cumsum(plane[:, 0], dtype=np.int64) & 0xFF).astype(np.int16)
+        # T[d, y] = plane[y, d - y]; each diagonal is a CONTIGUOUS row
+        # (int16 holds every intermediate: values are 0..255, the pred
+        # sum is bounded by 510). left -> T[d-1, y], above -> T[d-1, y-1],
+        # topleft -> T[d-2, y-1] — all contiguous row slices. Built
+        # transposed directly (h strided row-writes, the only layout
+        # cost) to avoid extra full-plane copies: this host faults in
+        # fresh pages at ~20 MB/s, so every avoided buffer matters.
+        T = np.zeros((w + h - 1, h), np.int16)
+        diag = np.arange(w)
         for y in range(h):
-            for x in range(w):
-                if x == 0 and y == 0:
-                    pred = 0
-                elif y == 0:
-                    pred = plane[0, x - 1]
-                elif x == 0:
-                    pred = plane[y - 1, 0]
-                else:
-                    pred = min(
-                        255,
-                        max(0, plane[y, x - 1] + plane[y - 1, x] - plane[y - 1, x - 1]),
-                    )
-                plane[y, x] = (plane[y, x] + pred) & 0xFF
+            T[y + diag, y] = plane[y]
+        T[:w, 0] = first_row
+        T[np.arange(h), np.arange(h)] = first_col
+        for d in range(2, w + h - 1):
+            y0 = max(1, d - w + 1)
+            y1 = min(h - 1, d - 1)
+            if y0 > y1:
+                continue
+            s = slice(y0, y1 + 1)
+            sm1 = slice(y0 - 1, y1)
+            pred = np.clip(T[d - 1, s] + T[d - 1, sm1] - T[d - 2, sm1], 0, 255)
+            T[d, s] = (T[d, s] + pred) & 0xFF
+        plane = np.empty((h, w), np.int16)
+        for y in range(h):
+            plane[y] = T[y + diag, y]
     return plane.astype(np.uint8)
 
 
