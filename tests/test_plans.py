@@ -197,3 +197,39 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_q7_nation_pair_filter_reaches_scans(spark):
+    """Round-5 fix: the two-nation pair filter must be pushed into BOTH
+    nation scan branches (Catalyst can't push the cross-side
+    disjunction itself), so supplier/customer rows outside the pair die
+    at the first broadcast join instead of surviving three fact joins."""
+    from ocrs_spark.ops.relational import q7_volume_shipping
+
+    plan = plan_of(q7_volume_shipping(spark, SF_DIR))
+    # Both nation branches carry the IN-filter down at the scan.
+    assert len(re.findall(r"PushedFilters:.*In\(n_name, \[NATION", plan)) >= 2
+
+
+def test_text_profile_is_single_scan(spark):
+    """The fused profile projection must read documents exactly once —
+    fusing three per-doc queries into one scan is its reason to exist."""
+    from ocrs_spark.ops.textstats import text_profile
+
+    plan = plan_of(text_profile(spark, SF_DIR))
+    # One detail entry "(n) Scan parquet" == one physical scan (the
+    # formatted explain also names the node in the tree header).
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Exchange" not in plan  # pure projection: no shuffle at all
+
+
+def test_multimodal_decode_reads_prelanded_payloads(spark):
+    """The timed decode query must scan the materialized payload table
+    (binary column present) rather than re-synthesizing from documents:
+    encode is fixture work a real corpus never pays."""
+    from ocrs_spark.ops.multimodal import multimodal_decode_meta
+
+    plan = plan_of(multimodal_decode_meta(spark, SF_DIR))
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "payload" in m.group(1)
+    assert "text" not in (m.group(1))  # documents.text never read here
