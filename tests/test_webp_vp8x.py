@@ -228,3 +228,29 @@ def test_vp8x_fixture_ocrs_through_spark_pipeline(spark):
     assert len(rows) == 1
     assert rows[0].error is None
     assert rows[0].ocr_text == "77"
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def alpha_planes(draw):
+    w = draw(st.integers(1, 40))
+    h = draw(st.integers(1, 30))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w), np.uint8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(alpha_planes(), st.integers(0, 3))
+def test_alph_filter_roundtrip_property(plane, filt):
+    """Forward-filter -> decode is the identity for every filter and
+    every plane shape (incl. 1-wide/1-tall edge geometries where the
+    first-row/first-col fallback predictors dominate)."""
+    from ocrs_spark.webp import _decode_alph
+
+    body = bytes([(filt << 2)]) + _forward_filter(plane, filt).tobytes()
+    h, w = plane.shape
+    out = _decode_alph(body, w, h)
+    assert np.array_equal(out, plane)
