@@ -101,6 +101,8 @@ def test_cli_stdin_json_and_debug_sinks(tmp_path):
             str(tmp_path / "annot.webp"),
             "--webp-lossy",
             str(tmp_path / "annot_lossy.webp"),
+            "--jpeg",
+            str(tmp_path / "annot.jpg"),
         ],
         input=encode_rawi(img),
         capture_output=True,
@@ -119,6 +121,12 @@ def test_cli_stdin_json_and_debug_sinks(tmp_path):
     lossy = decode_webp((tmp_path / "annot_lossy.webp").read_bytes())
     assert lossy.shape == annotated.shape
     assert np.abs(lossy.astype(int) - annotated.astype(int)).mean() < 8
+    # The JPEG sink round-trips through our own T.81 encoder+decoder.
+    from ocrs_spark.jpeg import decode_jpeg
+
+    jpg = decode_jpeg((tmp_path / "annot.jpg").read_bytes())
+    assert jpg.shape == annotated.shape
+    assert np.abs(jpg.astype(int) - annotated.astype(int)).mean() < 8
 
 
 def test_cli_text_line_images_sink(tmp_path):
