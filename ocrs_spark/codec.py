@@ -81,6 +81,11 @@ def decode_rlei(data: bytes) -> np.ndarray:
     _, h, w, c, n = struct.unpack("<BIII I", data[4:21])
     values = np.frombuffer(data, dtype=np.uint8, count=n, offset=21)
     lengths = np.frombuffer(data, dtype=np.uint32, count=n, offset=21 + n)
+    # Guard before np.repeat: a corrupted uint32 run length would other-
+    # wise allocate up to 4 GiB per run (a decode bomb the quarantine
+    # path must see as a clean error, not an executor stall).
+    if int(lengths.sum(dtype=np.int64)) != h * w * c:
+        raise UnsupportedImageError("RLEI runs disagree with declared size")
     return np.repeat(values, lengths).reshape(h, w, c)
 
 
