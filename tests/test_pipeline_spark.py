@@ -180,3 +180,32 @@ def test_lossy_webp_media_decodes_in_executors(spark):
     assert len(rows) == 1
     assert rows[0]["error"] is None
     assert rows[0]["ocr_text"] == expected and expected  # non-empty text
+
+
+def test_decode_bomb_payload_quarantines_cleanly(spark):
+    """A corrupted RLEI payload whose run lengths claim gigabytes must
+    surface as a quarantine row with the codec's clean error message —
+    the executor must not stall allocating the bomb (codec.decode_rlei
+    guards sum(lengths) against the declared size)."""
+    import time
+
+    from ocrs_spark.codec import encode_rlei
+    from ocrs_spark.fixtures import MEDIA_SCHEMA, make_word_image
+
+    bomb = bytearray(encode_rlei(make_word_image(2)))
+    bomb[-2] = 0xFF  # inflate one uint32 run length by ~16M pixels
+    media = spark.createDataFrame(
+        [{"media_ref": "bomb-1", "bytes": bomb, "width": 200, "height": 100,
+          "channels": 3}],
+        schema=MEDIA_SCHEMA,
+    )
+    docs = spark.createDataFrame(
+        [{"doc_id": "d1", "spans": [
+            {"kind": "image", "text": None, "media_ref": "bomb-1", "offset": 0}]}],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    t0 = time.time()
+    rows = ocr_image_spans(explode_spans(docs), media, {"kind": "fake"}).collect()
+    assert time.time() - t0 < 60  # clean failure, not an allocation stall
+    assert len(rows) == 1 and rows[0]["ocr_text"] is None
+    assert "RLEI runs disagree" in rows[0]["error"]
