@@ -315,11 +315,28 @@ def embedding_near_dup_pairs(emb, threshold: float = COSINE_THRESHOLD):
     from .similarity import banded_buckets
 
     bb = banded_buckets(emb, EMB_LSH_BANDS, EMB_LSH_ROWS, EMB_PLANE_BASE)
+    # In-bucket pair explosion instead of a bb-self-join: a self-join
+    # re-executes the whole bucketing subtree (scan + matmul UDF) on
+    # both sides, and broadcast-hash prevents ReusedExchange. One
+    # groupBy computes the buckets ONCE; per-group pair fan-out is
+    # bounded by bucket occupancy — the same bound the self-join had —
+    # so the 100-TB behavior is unchanged while the small-SF plan drops
+    # from 4 bucketing passes to 1. Sorted ids keep vec_a < vec_b,
+    # matching the oracle's self-join candidates exactly.
     cand = (
-        bb.alias("a")
-        .join(bb.alias("b"), ["band", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        bb.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> transform("
+                    "slice(ids, i + 2, size(ids)), "
+                    "b -> named_struct('vec_a', a, 'vec_b', b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
         .distinct()
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))

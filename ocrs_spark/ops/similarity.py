@@ -235,6 +235,14 @@ def banded_buckets(
         ).sum(axis=2)
         return pd.Series(list(packed))
 
+    # The UDF IS deterministic; the flag only gates the optimizer.
+    # Without it, InferFiltersFromGenerate adds `size(bks)>0 AND
+    # isnotnull(bks)` below the posexplode and ExtractPythonUDFs then
+    # evaluates the matmul UDF TWICE per scan (once for the inferred
+    # filter, once for the projection) — observed as 8 ArrowEvalPython
+    # stages in embedding_cosine_pairs' plan before this flag.
+    _buckets = _buckets.asNondeterministic()
+
     return emb.select("vec_id", _buckets("embedding").alias("bks")).select(
         "vec_id", F.posexplode("bks").alias("band", "bucket")
     )
