@@ -233,3 +233,16 @@ def test_multimodal_decode_reads_prelanded_payloads(spark):
     m = re.search(r"ReadSchema: (\S+)", plan)
     assert m and "payload" in m.group(1)
     assert "text" not in (m.group(1))  # documents.text never read here
+
+
+def test_embedding_near_dup_buckets_once(spark):
+    """The banded-LSH bucketing UDF (Arrow matmul) must evaluate exactly
+    once in the near-dup plan. Two regressions this guards: the old
+    bb-self-join re-ran the whole bucketing subtree per side, and
+    InferFiltersFromGenerate used to clone the UDF into an inferred
+    filter below the posexplode (8 ArrowEvalPython stages at worst)."""
+    from ocrs_spark.ops.dedup import embedding_cosine_pairs
+
+    plan = plan_of(embedding_cosine_pairs(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
