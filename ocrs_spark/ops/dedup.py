@@ -256,10 +256,128 @@ WHERE round(n_inter / (sa.n_toks + sb.n_toks - n_inter), 4) >= {JACCARD_THRESHOL
 )
 
 
+def _signatures_udf(simhash: bool = True, fingerprint: bool = True):
+    """Arrow-batched per-document signature kernel: frequency-weighted
+    {SIMHASH_BITS}-bit SimHash plus the bottom-k shingle fingerprint in
+    ONE pass over the text. Token hashes are memoized per batch (the
+    corpus vocabulary is far smaller than the token stream, so most md5
+    calls collapse into a dict hit) and the bit votes are one numpy
+    reduceat over the flattened token-hash stream — no per-doc numpy
+    allocation. fingerprint is NULL for docs with <3 tokens, mirroring
+    the aggregate form where explode() of zero shingles drops the doc.
+    The flags skip the unwanted half's hashing when a caller projects
+    only one column (a struct-field projection does not stop the UDF
+    from computing the whole struct)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .textstats import _FINGERPRINT_K
+
+    schema = StructType(
+        [
+            StructField("simhash", LongType()),
+            StructField("fingerprint", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _signatures(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        tok_lists = [t.split(" ") for t in texts]
+
+        if simhash:
+            vocab: dict = {}
+            for toks in tok_lists:
+                for tok in toks:
+                    vocab[tok] = None
+            for tok in vocab:
+                vocab[tok] = int(
+                    hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16
+                )
+            # split() yields >=1 token per doc, so segment bounds are
+            # strictly increasing and reduceat never sees an empty
+            # segment.
+            lengths = np.fromiter(
+                (len(t) for t in tok_lists), np.int64, len(tok_lists)
+            )
+            flat = np.fromiter(
+                (vocab[tok] for toks in tok_lists for tok in toks),
+                np.int64,
+                int(lengths.sum()),
+            )
+            votes_per_tok = (
+                ((flat[:, None] >> np.arange(SIMHASH_BITS)) & 1) * 2 - 1
+            ).astype(np.int32)
+            bounds = np.zeros(len(tok_lists), np.int64)
+            np.cumsum(lengths[:-1], out=bounds[1:])
+            votes = np.add.reduceat(votes_per_tok, bounds, axis=0)
+            sim = (
+                (votes > 0)
+                * (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64))
+            ).sum(axis=1)
+        else:
+            sim = np.zeros(len(tok_lists), np.int64)
+
+        if fingerprint:
+            fps = []
+            for toks in tok_lists:
+                n = len(toks) - 2
+                if n <= 0:
+                    fps.append(None)
+                    continue
+                hs = {
+                    hashlib.md5(
+                        " ".join(toks[i : i + 3]).encode("utf-8")
+                    ).hexdigest()
+                    for i in range(n)
+                }
+                fps.append("|".join(sorted(hs)[:_FINGERPRINT_K]))
+        else:
+            fps = [None] * len(tok_lists)
+        return pd.DataFrame({"simhash": sim, "fingerprint": fps})
+
+    # Deterministic in fact; the flag only stops the optimizer from
+    # cloning the kernel across the project/filter boundary (the
+    # fingerprint-isNotNull filter otherwise re-evaluates it — same
+    # pathology banded_buckets hit with InferFiltersFromGenerate).
+    return _signatures.asNondeterministic()
+
+
+def _narrow_docs(spark, sf_dir):
+    """(doc_id, text) spread across the cores: small-SF parquet is a
+    single file => one input partition, which would serialize a
+    CPU-bound UDF. At real scale the scan already yields thousands of
+    partitions and this round-robin exchange of the narrow projection
+    is the only shuffle in the signature plan (vs. the aggregate form's
+    per-token exploded shuffle + join)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def simhash_docs(spark, sf_dir):
-    """Frequency-weighted {SIMHASH_BITS}-bit SimHash per document (token
-    hash = 32-bit md5 prefix; bit b set iff the signed bit-vote sum is
-    positive)."""
+    """Frequency-weighted {SIMHASH_BITS}-bit SimHash per document via
+    the single-pass Arrow signature kernel (see _signatures_udf;
+    simhash_docs_agg is the expression-form parity reference)."""
+    sig = _signatures_udf(fingerprint=False)
+    return _narrow_docs(spark, sf_dir).select(
+        "doc_id", sig("text").getField("simhash").alias("simhash")
+    )
+
+
+def simhash_docs_agg(spark, sf_dir):
+    """Expression/groupBy SimHash: the semantically-canonical parity
+    reference for the Arrow kernel (token hash = 32-bit md5 prefix; bit
+    b set iff the signed bit-vote sum is positive). Pays an exploded
+    per-token shuffle the narrow form avoids."""
     (docs,) = load_tables(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -430,14 +548,18 @@ def doc_signatures(spark, sf_dir):
     """Per-document dedup signatures: frequency-weighted SimHash and the
     bottom-k shingle fingerprint in one contract row (the individual
     queries remain pytest-checked; this is the driver-contract
-    consolidation). Two per-doc aggregates joined on doc_id — both
-    sides are already partitioned by the join key, so the join is
-    co-located at scale."""
-    from .textstats import doc_fingerprint
-
-    sim = simhash_docs(spark, sf_dir)
-    fp = doc_fingerprint(spark, sf_dir)
-    return sim.join(fp, "doc_id").select("doc_id", "simhash", "fingerprint")
+    consolidation). ONE scan + one Arrow kernel computing both columns
+    — no exploded per-token shuffle, no join: the signature job a
+    100-TB corpus wants is map-side only. Docs with <3 tokens have no
+    shingles and are dropped, matching the aggregate form's inner join
+    against an explode() that produced nothing for them."""
+    sig = _signatures_udf()
+    return (
+        _narrow_docs(spark, sf_dir)
+        .select("doc_id", sig("text").alias("sig"))
+        .select("doc_id", "sig.simhash", "sig.fingerprint")
+        .filter(F.col("fingerprint").isNotNull())
+    )
 
 
 def _doc_signatures_sql() -> str:
@@ -457,6 +579,7 @@ QUERIES = {
     "minhash_lsh_buckets": minhash_lsh_buckets,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_docs": simhash_docs,
+    "simhash_docs_agg": simhash_docs_agg,
     "doc_signatures": doc_signatures,
     "embedding_cosine_pairs": embedding_cosine_pairs,
 }
@@ -466,6 +589,7 @@ ORACLES = {
     "minhash_lsh_buckets": ORACLE_MINHASH,
     "ngram_jaccard_pairs": ORACLE_JACCARD,
     "simhash_docs": ORACLE_SIMHASH,
+    "simhash_docs_agg": ORACLE_SIMHASH,
     "doc_signatures": ORACLE_DOC_SIGNATURES,
     "embedding_cosine_pairs": ORACLE_EMB_COSINE,
 }

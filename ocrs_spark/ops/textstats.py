@@ -153,7 +153,25 @@ def doc_fingerprint(spark, sf_dir):
     """Bottom-k sketch fingerprint: the 4 lexicographically-smallest md5s
     of the doc's distinct word 3-shingles, pipe-joined. Equal
     fingerprints => near-identical prefixes of the shingle hash order —
-    a compact dedup/lineage key."""
+    a compact dedup/lineage key. Computed by the single-pass Arrow
+    signature kernel (see dedup._signatures_udf; doc_fingerprint_agg is
+    the aggregate-form parity reference)."""
+    from .dedup import _narrow_docs, _signatures_udf
+
+    sig = _signatures_udf(simhash=False)
+    return (
+        _narrow_docs(spark, sf_dir)
+        .select(
+            "doc_id", sig("text").getField("fingerprint").alias("fingerprint")
+        )
+        .filter(F.col("fingerprint").isNotNull())
+    )
+
+
+def doc_fingerprint_agg(spark, sf_dir):
+    """Explode/groupBy fingerprint: the semantically-canonical parity
+    reference for the Arrow kernel. Pays an exploded per-shingle
+    shuffle the narrow form avoids."""
     from .dedup import shingles_df
 
     (docs,) = load_tables(spark, sf_dir, "documents")
@@ -305,6 +323,7 @@ QUERIES = {
     "token_counts": token_counts,
     "text_profile": text_profile,
     "doc_fingerprint": doc_fingerprint,
+    "doc_fingerprint_agg": doc_fingerprint_agg,
     "tfidf_top_terms": tfidf_top_terms,
 }
 
@@ -314,5 +333,6 @@ ORACLES = {
     "token_counts": ORACLE_TOKEN_COUNTS,
     "text_profile": ORACLE_TEXT_PROFILE,
     "doc_fingerprint": ORACLE_FINGERPRINT,
+    "doc_fingerprint_agg": ORACLE_FINGERPRINT,
     "tfidf_top_terms": ORACLE_TFIDF,
 }

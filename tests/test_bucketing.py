@@ -78,3 +78,51 @@ def test_vectorized_shingles_match_expression_form(spark):
     fast = sorted(map(tuple, shingles_df(docs).collect()))
     ref = sorted(map(tuple, shingles_df_expr(docs).collect()))
     assert fast == ref and len(fast) > 0
+
+
+def test_signature_kernel_matches_aggregate_forms(spark, tmp_path):
+    """The single-pass Arrow signature kernel must agree with the
+    explode/groupBy parity forms on a corpus exercising the edges the
+    driver testdata lacks: empty text, 1- and 2-token docs (no
+    shingles: absent from fingerprint/signatures but PRESENT in
+    simhash), repeated tokens (frequency-weighted votes), consecutive
+    spaces (empty tokens), and exactly-3-token docs."""
+    import pandas as pd
+
+    from ocrs_spark.ops.dedup import (
+        doc_signatures,
+        simhash_docs,
+        simhash_docs_agg,
+    )
+    from ocrs_spark.ops.textstats import doc_fingerprint, doc_fingerprint_agg
+
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(7)],
+            "text": [
+                "",
+                "one",
+                "two tokens",
+                "three token doc",
+                "a b c d e f g",
+                "rep rep rep rep other",
+                "gap  double  space",
+            ],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(corpus).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    sim = sorted(map(tuple, simhash_docs(spark, sf).collect()))
+    sim_ref = sorted(map(tuple, simhash_docs_agg(spark, sf).collect()))
+    assert sim == sim_ref and len(sim) == 7
+
+    fp = sorted(map(tuple, doc_fingerprint(spark, sf).collect()))
+    fp_ref = sorted(map(tuple, doc_fingerprint_agg(spark, sf).collect()))
+    assert fp == fp_ref and len(fp) == 4  # docs with >=3 tokens only
+
+    sigs = sorted(map(tuple, doc_signatures(spark, sf).collect()))
+    want = {d: (s, f) for (d, s) in sim for (d2, f) in fp if d2 == d}
+    assert sigs == sorted((d, s, f) for d, (s, f) in want.items())

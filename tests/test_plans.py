@@ -246,3 +246,17 @@ def test_embedding_near_dup_buckets_once(spark):
     plan = plan_of(embedding_cosine_pairs(spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+
+
+def test_doc_signatures_is_single_pass(spark):
+    """Both dedup signatures must come from ONE scan and ONE Arrow
+    kernel evaluation — no exploded per-token shuffle, no join. The
+    only allowed exchange is the round-robin spread of the narrow
+    (doc_id, text) projection across cores."""
+    from ocrs_spark.ops.dedup import doc_signatures
+
+    plan = plan_of(doc_signatures(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
