@@ -68,6 +68,8 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_signatures",
     "tfidf_top_terms",
+    "html_main_content",
+    "repeated_passage_spans",
     "multimodal_decode_meta",
     "events_sessionize",
     "ann_ivf_topk",

@@ -26,10 +26,11 @@ def all_queries():
         skew,
         streamrows,
         textstats,
+        webdoc,
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc):
         out.update(mod.QUERIES)
     return out
 
@@ -43,9 +44,10 @@ def all_oracles():
         skew,
         streamrows,
         textstats,
+        webdoc,
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc):
         out.update(mod.ORACLES)
     return out

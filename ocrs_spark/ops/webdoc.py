@@ -1,0 +1,213 @@
+"""Web-document operators: main-content extraction (HTML boilerplate
+strip via block-level link-density/text-density heuristics, the
+jusText/Readability family) and passage-level dedup (rolling token-
+window hashing, the "deduplicate repeated training passages" op).
+
+Both are pure Catalyst expression plans — single scan, no Python in the
+hot path; the only shuffle is the passage groupBy on md5 window hashes
+(uniform keys by construction).
+
+The synthetic corpus has no HTML, so the extraction row wraps each
+document in a deterministic boilerplate template (nav/sidebar/footer
+link blocks seeded by doc_id) and the DuckDB oracle is exact identity
+recovery: ``SELECT doc_id, text AS main_text FROM documents``. The
+extractor itself is generic — the unit tests drive it over handcrafted
+nav-heavy, multi-paragraph, and link-list HTML it has never seen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load_tables
+
+# Block-level tags that end a content block; the split keeps each
+# closing tag attached to its block via lookbehind, so anchor counting
+# sees the full element.
+_BLOCK_SPLIT_RE = (
+    "(?<=</p>)|(?<=</nav>)|(?<=</footer>)|(?<=</div>)|(?<=</header>)"
+    "|(?<=</ul>)|(?<=</aside>)|(?<=</title>)"
+)
+# jusText-style keep rule: enough plain words, and anchor text makes up
+# less than a third of the block's characters (char-based density — a
+# word-count ratio lets an all-links sidebar through once it has enough
+# link words). The word floor stays low enough that half-paragraphs of
+# the shortest (10-token) corpus docs survive.
+MIN_BLOCK_WORDS = 4
+MAX_LINK_DENSITY = 0.33
+
+
+def main_content(html_df, html_col: str = "html"):
+    """(doc_id, html) -> (doc_id, main_text): split into block elements,
+    score each by word count and link density, keep content blocks,
+    rejoin in document order. Entirely JVM-side expressions."""
+    blocks = f"split({html_col}, '{_BLOCK_SPLIT_RE}')"
+    # Tags deleted (not blanked): main text never contains tags, so
+    # recovery is exact; boilerplate blocks are judged on their words.
+    scored = (
+        f"transform({blocks}, b -> named_struct("
+        "'txt', trim(regexp_replace(b, '<[^>]*>', '')), "
+        "'anchor_chars', length(array_join("
+        "regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1), ''))))"
+    )
+    kept = (
+        f"filter({scored}, s -> "
+        f"size(filter(split(s.txt, ' +'), w -> w != '')) >= {MIN_BLOCK_WORDS}"
+        f" AND s.anchor_chars <= {MAX_LINK_DENSITY} * length(s.txt))"
+    )
+    joined = f"array_join(transform({kept}, s -> s.txt), ' ')"
+    return html_df.select("doc_id", F.expr(joined).alias("main_text"))
+
+
+def _synth_html():
+    """Deterministic boilerplate wrapper, template variant by
+    pmod(doc_id, 3): nav/footer link rows, a short title, a link-heavy
+    sidebar or related-articles list, and the document text as one or
+    two <p> blocks. Every boilerplate block is either short or
+    link-dense, so a correct extractor must return exactly the original
+    text."""
+    toks = "split(text, ' ')"
+    mid = f"cast(ceil(size({toks}) / 2) as int)"
+    p_one = "concat('<p>', text, '</p>')"
+    p_two = (
+        f"concat('<p>', array_join(slice({toks}, 1, {mid}), ' '), '</p>'"
+        f", '<p>', array_join(slice({toks}, {mid} + 1, size({toks})), ' '), '</p>')"
+    )
+    nav = (
+        "'<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a>"
+        " <a href=\"/contact\">Contact</a></nav>'"
+    )
+    sidebar = (
+        "'<aside><a href=\"/r1\">related article one</a>"
+        " <a href=\"/r2\">related article two</a>"
+        " <a href=\"/r3\">more from this site</a></aside>'"
+    )
+    footer = (
+        "'<footer><a href=\"/terms\">Terms of use</a>"
+        " <a href=\"/privacy\">Privacy policy</a>"
+        " <a href=\"/cookies\">Cookie settings</a> copyright</footer>'"
+    )
+    title = "concat('<title>Doc ', doc_id, '</title>')"
+    body = (
+        f"CASE pmod(doc_id, 3) "
+        f"WHEN 0 THEN concat({nav}, '<div class=\"main\">', {p_one}, '</div>', {footer}) "
+        f"WHEN 1 THEN concat({nav}, {sidebar}, '<div class=\"main\">', {p_two}, '</div>', {footer}) "
+        f"ELSE concat('<header>', {title}, '</header>', {p_one}, {sidebar}, {footer}) END"
+    )
+    return f"concat('<html><head>', {title}, '</head><body>', {body}, '</body></html>')"
+
+
+def html_docs(spark, sf_dir):
+    """documents wrapped in deterministic boilerplate HTML."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.expr(_synth_html()).alias("html"))
+
+
+def html_main_content(spark, sf_dir):
+    """Boilerplate strip over the synthesized HTML corpus; the oracle
+    is exact recovery of the pre-wrap text."""
+    return main_content(html_docs(spark, sf_dir))
+
+
+ORACLE_MAIN_CONTENT = "SELECT doc_id, text AS main_text FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup: rolling W-token windows at a fixed stride, hashed
+# and grouped — the scalable form of "find passages repeated across the
+# corpus" (suffix arrays don't distribute; stride-windowed hashing does,
+# with the shuffle bounded at tokens/stride rows per document).
+PASSAGE_W = 12
+PASSAGE_STRIDE = 5
+# The synthetic corpus has no cross-document repeats, so BOTH engines
+# plant deterministic ones (the planted_embeddings pattern): a copy of
+# the first PLANT_TOKENS tokens of each low-id long-enough doc as a new
+# doc at id + PLANT_ID_OFFSET. Window starts are stride-aligned from 1,
+# so the plant's windows land on the source's window grid and every
+# planted doc yields >=2 repeated passages.
+PASSAGE_PLANT_MAX_ID = 50
+PASSAGE_PLANT_TOKENS = 20
+PASSAGE_PLANT_ID_OFFSET = 1_000_000
+
+
+def planted_passage_docs(docs):
+    """(doc_id, text) plus deterministic planted passage duplicates."""
+    toks = "split(text, ' ')"
+    planted = docs.filter(
+        (F.col("doc_id") < PASSAGE_PLANT_MAX_ID)
+        & (F.expr(f"size({toks})") >= PASSAGE_PLANT_TOKENS)
+    ).select(
+        (F.col("doc_id") + PASSAGE_PLANT_ID_OFFSET).alias("doc_id"),
+        F.expr(
+            f"array_join(slice({toks}, 1, {PASSAGE_PLANT_TOKENS}), ' ')"
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(planted)
+
+
+def repeated_passages(docs, w: int = PASSAGE_W, stride: int = PASSAGE_STRIDE):
+    """Core operator over any (doc_id, text) DataFrame: md5-hashed
+    rolling token windows, kept when they occur in more than one
+    distinct document."""
+    toks = "split(text, ' ')"
+    # sequence(1, 0, +5) is an error in Spark, so docs shorter than one
+    # window get an explicit empty array instead.
+    windows = (
+        f"transform(if(size({toks}) >= {w},"
+        f" sequence(1, size({toks}) - {w} + 1, {stride}),"
+        f" array()),"
+        f" p -> md5(array_join(slice({toks}, p, {w}), ' ')))"
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(F.expr(windows)).alias("passage_hash")
+    )
+    return (
+        exploded.groupBy("passage_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def repeated_passage_spans(spark, sf_dir):
+    """Passage-level dedup over the (plant-augmented) documents table."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return repeated_passages(planted_passage_docs(docs))
+
+
+_DUCK_TOKS = "string_split(text, ' ')"
+ORACLE_REPEATED_PASSAGES = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PASSAGE_PLANT_ID_OFFSET},
+         array_to_string({_DUCK_TOKS}[1:{PASSAGE_PLANT_TOKENS}], ' ')
+  FROM documents
+  WHERE doc_id < {PASSAGE_PLANT_MAX_ID}
+    AND len({_DUCK_TOKS}) >= {PASSAGE_PLANT_TOKENS}
+),
+win AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[p:p + {PASSAGE_W} - 1], ' ')) AS passage_hash
+  FROM aug,
+       unnest(range(1, greatest(len(string_split(text, ' ')) - {PASSAGE_W} + 1, 0) + 1,
+                    {PASSAGE_STRIDE})) AS t(p)
+)
+SELECT passage_hash, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences, min(doc_id) AS min_doc_id
+FROM win GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+QUERIES = {
+    "html_main_content": html_main_content,
+    "repeated_passage_spans": repeated_passage_spans,
+}
+
+ORACLES = {
+    "html_main_content": ORACLE_MAIN_CONTENT,
+    "repeated_passage_spans": ORACLE_REPEATED_PASSAGES,
+}

@@ -260,3 +260,25 @@ def test_doc_signatures_is_single_pass(spark):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_html_main_content_is_pure_projection(spark):
+    """Boilerplate strip must stay a single-scan, shuffle-free
+    expression plan — the map-side-only shape a 100-TB extraction
+    sweep needs."""
+    from ocrs_spark.ops.webdoc import html_main_content
+
+    plan = plan_of(html_main_content(spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no Python anywhere
+
+
+def test_repeated_passages_partial_aggregates(spark):
+    """Passage dedup shuffles only hashed windows with map-side partial
+    aggregation — never raw text — and keeps Python out entirely."""
+    from ocrs_spark.ops.webdoc import repeated_passage_spans
+
+    plan = plan_of(repeated_passage_spans(spark, SF_DIR))
+    assert re.search(r"HashAggregate.*partial", plan, re.S)
+    assert "SortMergeJoin" not in plan and "EvalPython" not in plan
