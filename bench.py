@@ -70,6 +70,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "html_main_content",
     "repeated_passage_spans",
+    "pdf_text_extraction",
     "multimodal_decode_meta",
     "events_sessionize",
     "ann_ivf_topk",

@@ -17,6 +17,8 @@ nav-heavy, multi-paragraph, and link-list HTML it has never seen.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from . import load_tables
@@ -202,12 +204,83 @@ FROM win GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
 """
 
 
+# ---------------------------------------------------------------------------
+# PDF text extraction: born-digital PDF payloads parsed (FlateDecode +
+# content-stream tokenizer, ocrs_spark/pdf.py) back into text — the
+# "PDF parse" leg next to the HTML strip above. The corpus row encodes
+# each document's text into a real single-page PDF ONCE per (session,
+# sf_dir) — a real corpus arrives already encoded, so the timed query
+# pays for parse only — and the oracle is exact identity recovery.
+PDF_LINE_WORDS = 8
+PDF_PAYLOAD_SCHEMA = "doc_id bigint, payload binary"
+PDF_TEXT_SCHEMA = "doc_id bigint, pdf_text string"
+
+
+def _encode_pdf_batches(batches):
+    from ..pdf import encode_pdf
+
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            toks = text.split(" ")
+            lines = [
+                " ".join(toks[i : i + PDF_LINE_WORDS])
+                for i in range(0, len(toks), PDF_LINE_WORDS)
+            ]
+            payloads.append(encode_pdf(lines))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def pdf_payload_table(spark, sf_dir):
+    from ..matcache import materialize_once
+
+    def build():
+        (docs,) = load_tables(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(_encode_pdf_batches, schema=PDF_PAYLOAD_SCHEMA)
+        )
+
+    return materialize_once(spark, sf_dir, "pdf_payloads", build)
+
+
+def _extract_pdf_batches(batches):
+    from ..pdf import PdfParseError, extract_pdf_text
+
+    for pdf in batches:
+        texts = []
+        for p in pdf["payload"]:
+            # Per-row failure isolation: a malformed payload yields a
+            # NULL row instead of killing the task (the synthesized
+            # corpus is never malformed, so the oracle is unaffected).
+            try:
+                texts.append(" ".join(extract_pdf_text(bytes(p))))
+            except PdfParseError:
+                texts.append(None)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "pdf_text": texts})
+
+
+def pdf_text_extraction(spark, sf_dir):
+    """Parse every PDF payload back into text (the timed path is parse
+    only; see pdf_payload_table)."""
+    payloads = pdf_payload_table(spark, sf_dir)
+    return payloads.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_extract_pdf_batches, schema=PDF_TEXT_SCHEMA)
+
+
+ORACLE_PDF_TEXT = "SELECT doc_id, text AS pdf_text FROM documents"
+
+
 QUERIES = {
     "html_main_content": html_main_content,
     "repeated_passage_spans": repeated_passage_spans,
+    "pdf_text_extraction": pdf_text_extraction,
 }
 
 ORACLES = {
     "html_main_content": ORACLE_MAIN_CONTENT,
     "repeated_passage_spans": ORACLE_REPEATED_PASSAGES,
+    "pdf_text_extraction": ORACLE_PDF_TEXT,
 }

@@ -1,0 +1,222 @@
+"""Minimal from-spec PDF text codec (ISO 32000 subset).
+
+Writer: single-page documents with Helvetica Tj show-ops, a
+FlateDecode-compressed content stream, and an honest xref table (real
+byte offsets). Parser: walks indirect objects, slices each stream by
+its /Length entry, inflates FlateDecode, and tokenizes the content
+stream with a literal-string state machine (escape sequences, octal
+codes, balanced nested parentheses) collecting Tj and TJ show
+operators in order.
+
+This is the "PDF parse" leg of the extraction surface: the layout
+analysis itself is the OCR pipeline's (`kernels/layout.py`); this
+codec turns born-digital PDF spans into text spans without rasterizing.
+Like the PNG/JPEG/WebP codecs, it is written from the public spec —
+the reference engine has no PDF path to copy.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+class PdfParseError(ValueError):
+    """Malformed or unsupported PDF payload (a ValueError like the
+    image codecs' UnsupportedImageError, so the pipeline's broad
+    quarantine catch handles it uniformly)."""
+
+
+_ESCAPES = {
+    ord("n"): b"\n",
+    ord("r"): b"\r",
+    ord("t"): b"\t",
+    ord("b"): b"\b",
+    ord("f"): b"\f",
+    ord("("): b"(",
+    ord(")"): b")",
+    ord("\\"): b"\\",
+}
+
+
+def _escape_string(s: bytes) -> bytes:
+    out = bytearray()
+    for ch in s:
+        if ch in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out.append(0x5C)
+            out.append(ch)
+        elif 32 <= ch <= 126:
+            out.append(ch)
+        else:
+            out += b"\\%03o" % ch
+    return bytes(out)
+
+
+def encode_pdf(lines: list[str], compress: bool = True) -> bytes:
+    """Single-page PDF showing each line as one Tj operator."""
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(b"0 -14 Td")
+        ops.append(b"(" + _escape_string(line.encode("latin-1")) + b") Tj")
+    ops.append(b"ET")
+    content = b" ".join(ops)
+    filt = b""
+    if compress:
+        content = zlib.compress(content, 6)
+        filt = b" /Filter /FlateDecode"
+
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream"
+        % (len(content), filt, content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+_STREAM_DICT_RE = re.compile(rb"<<(.*?)>>\s*stream(\r\n|\n|\r)", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _content_streams(data: bytes) -> list[bytes]:
+    """Every stream body, sliced by its /Length, inflated if Flate."""
+    if not data.startswith(b"%PDF-"):
+        raise PdfParseError("not a PDF (missing %PDF- header)")
+    streams = []
+    for m in _STREAM_DICT_RE.finditer(data):
+        d = m.group(1)
+        lm = _LENGTH_RE.search(d)
+        if not lm:
+            raise PdfParseError("stream object without /Length")
+        n = int(lm.group(1))
+        start = m.end()
+        body = data[start : start + n]
+        if len(body) != n:
+            raise PdfParseError("stream truncated before /Length bytes")
+        if b"/FlateDecode" in d:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error as exc:
+                raise PdfParseError(f"bad Flate stream: {exc}") from exc
+        elif b"/Filter" in d:
+            raise PdfParseError("unsupported stream filter")
+        streams.append(body)
+    if not streams:
+        # Even a blank page carries an (empty) content stream object; a
+        # PDF with none is a truncated or hollowed-out payload.
+        raise PdfParseError("no stream objects found")
+    return streams
+
+
+def _parse_literal_string(content: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a PDF literal string starting at content[i] == '('.
+    Handles escapes, octal codes, escaped newlines, and balanced
+    unescaped parentheses. Returns (string, index past ')')."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(content)
+    while i < n:
+        ch = content[i]
+        if ch == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = content[i]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = bytearray()
+                while i < n and len(oct_digits) < 3 and 0x30 <= content[i] <= 0x37:
+                    oct_digits.append(content[i])
+                    i += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+            elif e in (0x0A, 0x0D):  # line continuation: swallow EOL
+                i += 1
+                if e == 0x0D and i < n and content[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(e)
+                i += 1
+        elif ch == 0x28:  # nested (
+            depth += 1
+            out.append(ch)
+            i += 1
+        elif ch == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(ch)
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    raise PdfParseError("unterminated literal string")
+
+
+def _shows_from_content(content: bytes) -> list[bytes]:
+    """Collect Tj / TJ show operations, in order."""
+    shows = []
+    pending: list[bytes] = []
+    array: list[bytes] | None = None
+    i, n = 0, len(content)
+    while i < n:
+        ch = content[i]
+        if ch == 0x28:  # (
+            s, i = _parse_literal_string(content, i)
+            if array is not None:
+                array.append(s)
+            else:
+                pending.append(s)
+            continue
+        if ch == 0x5B:  # [
+            array = []
+            i += 1
+            continue
+        if ch == 0x5D:  # ]
+            i += 1
+            continue
+        if 0x41 <= ch <= 0x7A and (0x41 <= ch <= 0x5A or 0x61 <= ch <= 0x7A):
+            j = i
+            while j < n and (
+                0x41 <= content[j] <= 0x5A or 0x61 <= content[j] <= 0x7A
+            ):
+                j += 1
+            op = content[i:j]
+            if op == b"Tj" and pending:
+                shows.append(pending[-1])
+                pending = []
+            elif op == b"TJ" and array is not None:
+                shows.append(b"".join(array))
+                array = None
+            i = j
+            continue
+        i += 1
+    return shows
+
+
+def extract_pdf_text(data: bytes) -> list[str]:
+    """All text show operations across the document's content streams,
+    in stream order — one list entry per Tj/TJ."""
+    shows: list[bytes] = []
+    for stream in _content_streams(data):
+        shows.extend(_shows_from_content(stream))
+    return [s.decode("latin-1") for s in shows]
