@@ -5,7 +5,7 @@ Plan shape (SURVEY.md §3.4, mandated by the north rule):
 
     documents
       -> explode(spans)                      [UNNEST; unit of work = span]
-      -> filter kind='image'                 [text spans never touch Python]
+      -> filter kind in (image, pdf)         [text spans never touch Python]
       -> left-anti join committed ledger     [resume pruning]
       -> join media payloads                 [broadcast when small]
       -> repartition(hash(doc_id, offset))   [skew: schedule ~1 image/unit,
@@ -41,6 +41,12 @@ from .models import FakeDetectionModel, FakeRecognitionModel, fake_alphabet
 OCR_RESULT_SCHEMA = "doc_id string, offset int, ocr_text string, n_words int, n_lines int, error string"
 
 SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
+
+# Media span kinds that flow through the extraction UDF. Dispatch is by
+# payload magic bytes inside the kernel — a 'pdf' span whose payload is
+# really an image still OCRs, and vice versa — so the kinds only gate
+# which spans become work units.
+MEDIA_KINDS = ("image", "pdf")
 
 # ----------------------------------------------------------------- engine
 
@@ -94,11 +100,23 @@ def make_ocr_udf(engine_conf: dict):
             n_lines = [0] * n
             errors = [None] * n
             greys = [None] * n
-            # Decode + normalize the whole Arrow batch first ...
+            # Decode + normalize the whole Arrow batch first. Payloads
+            # dispatch on magic bytes: born-digital PDFs are parsed
+            # directly (no rasterize/OCR), everything else goes through
+            # the image decoders into the OCR stages below.
             for i in range(n):
                 try:
-                    img = decode_image(bytes(pdf["bytes"].iloc[i]))
-                    greys[i] = engine.prepare_input(img)
+                    payload = bytes(pdf["bytes"].iloc[i])
+                    if payload.startswith(b"%PDF-"):
+                        from .pdf import extract_pdf_text
+
+                        shown = extract_pdf_text(payload)
+                        texts[i] = "\n".join(shown)
+                        n_lines[i] = sum(1 for s in shown if s)
+                        n_words[i] = sum(len(s.split()) for s in shown)
+                    else:
+                        img = decode_image(payload)
+                        greys[i] = engine.prepare_input(img)
                 except Exception as exc:  # bad rows -> error column, task survives
                     errors[i] = f"decode: {exc}"
             # ... then run detection as one stacked NCHW batch (all inputs
@@ -222,7 +240,9 @@ def ocr_image_spans(
     a corpus-scale media table falls back to the hash join + skew-salted
     repartition automatically instead of relying on a caller flag.
     """
-    work = spans.filter(F.col("kind") == "image").select("doc_id", "offset", "media_ref")
+    work = spans.filter(F.col("kind").isin(*MEDIA_KINDS)).select(
+        "doc_id", "offset", "media_ref"
+    )
     m = media.select("media_ref", "bytes")
     if broadcast_media is None:
         broadcast_media = _media_fits_broadcast(m)
@@ -284,7 +304,7 @@ def reweave(spans: DataFrame, ocr_results: DataFrame) -> DataFrame:
             F.struct(
                 F.col("offset").alias("offset"),  # sort key first
                 F.col("kind").alias("kind"),
-                F.when(F.col("kind") == "image", F.col("ocr_text"))
+                F.when(F.col("kind").isin(*MEDIA_KINDS), F.col("ocr_text"))
                 .otherwise(F.col("text"))
                 .alias("text"),
                 F.col("media_ref").alias("media_ref"),

@@ -209,3 +209,50 @@ def test_decode_bomb_payload_quarantines_cleanly(spark):
     assert time.time() - t0 < 60  # clean failure, not an allocation stall
     assert len(rows) == 1 and rows[0]["ocr_text"] is None
     assert "RLEI runs disagree" in rows[0]["error"]
+
+
+def test_pdf_spans_flow_through_pipeline(spark):
+    """Born-digital PDF media dispatch: a corpus mixing text, image,
+    and pdf spans must reweave with the PDF's parsed text in place,
+    image spans OCR'd, and text spans untouched — one pipeline, one
+    media table, magic-byte dispatch inside the fused kernel."""
+    import numpy as np
+
+    from ocrs_spark.codec import encode_png
+    from ocrs_spark.fixtures import MEDIA_SCHEMA, fake_engine, make_word_image
+    from ocrs_spark.pdf import encode_pdf
+    from ocrs_spark.pipeline import SPAN_STRUCT
+
+    img = make_word_image(2)
+    eng = fake_engine()
+    want_ocr = eng.get_text(eng.prepare_input(np.transpose(img, (2, 0, 1)), chw=True))
+    pdf_payload = encode_pdf(["born digital line one", "and line two"])
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {"kind": "text", "text": "intro", "media_ref": None, "offset": 0},
+                    {"kind": "pdf", "text": None, "media_ref": "m-pdf", "offset": 1},
+                    {"kind": "image", "text": None, "media_ref": "m-img", "offset": 2},
+                    {"kind": "text", "text": "outro", "media_ref": None, "offset": 3},
+                ],
+            )
+        ],
+        schema=f"doc_id string, spans array<{SPAN_STRUCT}>",
+    )
+    media = spark.createDataFrame(
+        [
+            ("m-pdf", bytearray(pdf_payload), 0, 0, 0),
+            ("m-img", bytearray(encode_png(img)), img.shape[1], img.shape[0], 3),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    woven = spans_as_tuples(ocr_documents(docs, media))
+    assert woven["d1"] == [
+        ("text", "intro", None, 0),
+        ("pdf", "born digital line one\nand line two", "m-pdf", 1),
+        ("image", want_ocr, "m-img", 2),
+        ("text", "outro", None, 3),
+    ]
