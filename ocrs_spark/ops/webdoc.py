@@ -100,13 +100,21 @@ def _synth_html():
 
 
 def html_docs(spark, sf_dir):
-    """documents wrapped in deterministic boilerplate HTML."""
-    (docs,) = load_tables(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.expr(_synth_html()).alias("html"))
+    """documents wrapped in deterministic boilerplate HTML, landed to
+    parquet once per (session, sf_dir) — a real corpus arrives as
+    stored HTML, so the timed extraction query pays for the strip
+    only, not for synthesizing its own fixture."""
+    from ..matcache import materialize_once
+
+    def build():
+        (docs,) = load_tables(spark, sf_dir, "documents")
+        return docs.select("doc_id", F.expr(_synth_html()).alias("html"))
+
+    return materialize_once(spark, sf_dir, "html_docs", build)
 
 
 def html_main_content(spark, sf_dir):
-    """Boilerplate strip over the synthesized HTML corpus; the oracle
+    """Boilerplate strip over the pre-landed HTML corpus; the oracle
     is exact recovery of the pre-wrap text."""
     return main_content(html_docs(spark, sf_dir))
 
