@@ -51,8 +51,7 @@ def _escape_string(s: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_pdf(lines: list[str], compress: bool = True) -> bytes:
-    """Single-page PDF showing each line as one Tj operator."""
+def _page_content(lines: list[str], compress: bool) -> tuple[bytes, bytes]:
     ops = [b"BT /F1 12 Tf 72 720 Td"]
     for i, line in enumerate(lines):
         if i:
@@ -64,16 +63,41 @@ def encode_pdf(lines: list[str], compress: bool = True) -> bytes:
     if compress:
         content = zlib.compress(content, 6)
         filt = b" /Filter /FlateDecode"
+    return content, filt
 
+
+def encode_pdf(
+    lines: list[str],
+    compress: bool = True,
+    pages: list[list[str]] | None = None,
+) -> bytes:
+    """PDF showing each line as one Tj operator. ``lines`` makes a
+    single page; pass ``pages`` (a list of line-lists) for a multi-page
+    document — extraction order is page order, matching the parser's
+    stream order."""
+    if pages is None:
+        pages = [lines]
+    n_pages = len(pages)
+    # Object layout: 1 catalog, 2 pages root, then per page (page obj,
+    # content stream), font last.
+    font_num = 2 + 2 * n_pages + 1
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
     objects = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length %d%s >>\nstream\n%s\nendstream"
-        % (len(content), filt, content),
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages),
     ]
+    for i, page_lines in enumerate(pages):
+        content, filt = _page_content(page_lines, compress)
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
+            % (3 + 2 * i + 1, font_num)
+        )
+        objects.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(content), filt, content)
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objects, start=1):

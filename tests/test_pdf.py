@@ -113,3 +113,12 @@ def test_spark_extraction_isolates_corrupt_rows(spark):
     )
     got = {r["doc_id"]: r["pdf_text"] for r in df.collect()}
     assert got == {0: "good doc one", 1: None, 2: "good doc two"}
+
+
+def test_multipage_roundtrip():
+    pages = [["page one line a", "page one line b"], ["page two only"], [""]]
+    data = encode_pdf([], pages=pages)
+    assert extract_pdf_text(data) == [l for p in pages for l in p]
+    assert extract_pdf_text(encode_pdf([], compress=False, pages=pages)) == [
+        l for p in pages for l in p
+    ]
