@@ -272,6 +272,50 @@ def run_ocr_scale(cores: int) -> dict:
         dt = time.perf_counter() - t0
         wall = dt if wall is None else min(wall, dt)
     n_docs = docs.count()
+
+    # Second metric in the same pinned JVM: born-digital PDF extraction
+    # throughput (the pipeline's non-OCR media leg). Payloads are
+    # encoded OUTSIDE the timed run; the timed path parses only.
+    from pyspark.sql import functions as F
+
+    from ocrs_spark.ops.webdoc import (
+        PDF_PAYLOAD_SCHEMA,
+        PDF_TEXT_SCHEMA,
+        _encode_pdf_batches,
+        _extract_pdf_batches,
+    )
+
+    n_pdfs = 48000
+    text_expr = (
+        "array_join(transform(sequence(1, 240),"
+        " i -> concat('tok', pmod(id * 31 + i, 97))), ' ')"
+    )
+    pdf_docs = spark.range(n_pdfs).select(
+        F.col("id").alias("doc_id"), F.expr(text_expr).alias("text")
+    )
+    payloads = (
+        pdf_docs.repartition(cores * 2)
+        .mapInPandas(_encode_pdf_batches, schema=PDF_PAYLOAD_SCHEMA)
+        .cache()
+    )
+    payloads.count()  # encode + cache before timing
+
+    def _pdf_run():
+        # No reshuffle in the timed path: the cached payloads already
+        # sit in cores*2 uniform partitions, so the run measures parse,
+        # not a fixed exchange floor.
+        _force(
+            payloads.mapInPandas(_extract_pdf_batches, schema=PDF_TEXT_SCHEMA)
+        )
+
+    _pdf_run()  # warm the workers on the exact batch shapes
+    pdf_wall = None
+    for _ in range(OCR_TIMED_REPEATS):
+        t0 = time.perf_counter()
+        _pdf_run()
+        dt = time.perf_counter() - t0
+        pdf_wall = dt if pdf_wall is None else min(pdf_wall, dt)
+
     spark.stop()
     return {
         "cores": cores,
@@ -283,6 +327,9 @@ def run_ocr_scale(cores: int) -> dict:
         "images_per_sec": round(n_images / wall, 2),
         "spans_per_sec": round(n_spans / wall, 2),
         "docs_per_sec": round(n_docs / wall, 2),
+        "pdf_docs": n_pdfs,
+        "pdf_wall_sec": round(pdf_wall, 3),
+        "pdf_docs_per_sec": round(n_pdfs / pdf_wall, 2),
     }
 
 
@@ -402,6 +449,10 @@ def _probe_once() -> dict:
     t_lo = out[f"local{lo}"]["images_per_sec"]
     t_hi = out[f"local{hi}"]["images_per_sec"]
     out["scaling_efficiency"] = round(t_hi / ((hi / lo) * t_lo), 3)
+    p_lo = out[f"local{lo}"].get("pdf_docs_per_sec")
+    p_hi = out[f"local{hi}"].get("pdf_docs_per_sec")
+    if p_lo and p_hi:
+        out["pdf_scaling_efficiency"] = round(p_hi / ((hi / lo) * p_lo), 3)
     return out
 
 
@@ -428,6 +479,7 @@ def run_scaling_probe() -> dict:
                     f"local{lo}_img_s": out[f"local{lo}"]["images_per_sec"],
                     f"local{hi}_img_s": out[f"local{hi}"]["images_per_sec"],
                     "scaling_efficiency": out["scaling_efficiency"],
+                    "pdf_scaling_efficiency": out.get("pdf_scaling_efficiency"),
                 }
             )
         return row
@@ -567,6 +619,13 @@ def write_bench_md(sf_dir: str, timings: dict, ocr: dict) -> None:
         f"{best[f'local{OCR_SCALE_CORES[1]}']['docs_per_sec']} docs/s at {OCR_SCALE_CORES[1]} cores). "
         "Identical committed code across windows — the spread is host neighbor load "
         "(BENCH/HISTORY.md records every window).",
+        "",
+        f"**Born-digital extraction leg (PDF parse, same pinned JVMs): "
+        f"{ocr[f'local{OCR_SCALE_CORES[0]}'].get('pdf_docs_per_sec', 'n/a')} docs/s @{OCR_SCALE_CORES[0]} -> "
+        f"{ocr[f'local{OCR_SCALE_CORES[1]}'].get('pdf_docs_per_sec', 'n/a')} docs/s @{OCR_SCALE_CORES[1]}, "
+        f"efficiency {ocr.get('pdf_scaling_efficiency', 'n/a')}** — the pipeline's "
+        "non-OCR media path, measured alongside the OCR probe so both extraction "
+        "legs carry N -> 4N evidence.",
         "",
         f"Engine-kernel scaling via plain multiprocessing (no JVM/Arrow), same window: "
         f"{mp.get(f'procs{OCR_SCALE_CORES[0]}', 'n/a')} -> "
