@@ -285,7 +285,10 @@ def run_ocr_scale(cores: int) -> dict:
         _extract_pdf_batches,
     )
 
-    n_pdfs = 48000
+    # Row-heavy phase: the session's 64-row Arrow batches are tuned for
+    # image payloads; PDF rows are ~4 KB, so batch them properly.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    n_pdfs = 96000
     text_expr = (
         "array_join(transform(sequence(1, 240),"
         " i -> concat('tok', pmod(id * 31 + i, 97))), ' ')"

@@ -225,7 +225,10 @@ PDF_TEXT_SCHEMA = "doc_id bigint, pdf_text string"
 
 
 def _encode_pdf_batches(batches):
+    from ..malloc_tuning import pretouch_arena
     from ..pdf import encode_pdf
+
+    pretouch_arena(64)
 
     for pdf in batches:
         payloads = []
@@ -254,7 +257,14 @@ def pdf_payload_table(spark, sf_dir):
 
 
 def _extract_pdf_batches(batches):
+    from ..malloc_tuning import pretouch_arena
     from ..pdf import PdfParseError, extract_pdf_text
+
+    # This host faults fresh mmap pages at ~20 MB/s; the parse loop
+    # allocates many short-lived strings, so concurrent workers without
+    # a pre-touched arena serialize in the kernel (same fix as the
+    # multimodal decode path).
+    pretouch_arena(64)
 
     for pdf in batches:
         texts = []
