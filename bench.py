@@ -69,8 +69,10 @@ HEADLINE = [
     "doc_signatures",
     "tfidf_top_terms",
     "html_main_content",
+    "dom_main_content",
     "repeated_passage_spans",
     "pdf_text_extraction",
+    "pdf_layout_extraction",
     "multimodal_decode_meta",
     "events_sessionize",
     "ann_ivf_topk",

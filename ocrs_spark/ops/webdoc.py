@@ -123,6 +123,128 @@ ORACLE_MAIN_CONTENT = "SELECT doc_id, text AS main_text FROM documents"
 
 
 # ---------------------------------------------------------------------------
+# DOM-heuristic main-content extraction (ocrs_spark/dom.py): a real
+# element tree + Readability-family class/id hints and subtree
+# exclusion. Its corpus is deliberately harder than the expression
+# extractor's: wordy link-FREE boilerplate (copyright disclaimers,
+# comment sections) that defeats pure link-density rules, nested
+# anchors, and attributes containing '>' that break tag-regex
+# stripping. Parse is per-document independent — the plan is one scan
+# + one Arrow mapInPandas stage, no shuffle, so it scales linearly
+# with executors.
+DOM_HTML_SCHEMA = "doc_id bigint, html string"
+DOM_MAIN_SCHEMA = "doc_id bigint, main_text string"
+
+_RICH_NAV = (
+    '<nav class="site-menu"><a href="/"><span>Home</span></a> '
+    '<a href="/about"><span>About us</span></a> '
+    '<a href="/contact"><span>Contact the team</span></a></nav>'
+)
+_RICH_SIDEBAR = (
+    '<div class="sidebar related"><p>You might also enjoy reading these '
+    'hand picked stories from our archive</p>'
+    '<a href="/r1">related article one</a> '
+    '<a href="/r2">related article two</a></div>'
+)
+_RICH_COMMENTS = (
+    '<div class="comments"><p>I strongly disagree with everything written '
+    'in this article and demand an immediate correction</p>'
+    '<p>Well said, I had exactly the same thought while reading it</p></div>'
+)
+_RICH_FOOTER = (
+    '<footer><div class="copyright">All material on this site is provided '
+    'without warranty of any kind and may not be reproduced without '
+    'permission</div></footer>'
+)
+
+
+def _rich_html(doc_id: int, text: str) -> str:
+    """Deterministic hard-boilerplate wrapper, variant by doc_id % 3.
+    Every boilerplate block is either structurally negative (nav,
+    footer), hint-negative (comments, related, copyright), or
+    link-dense; the document text is the only kept content, so exact
+    identity recovery is the correctness bar."""
+    title = f"<title>Doc {doc_id}</title>"
+    variant = doc_id % 3
+    if variant == 0:
+        body = (
+            f'{_RICH_NAV}<article><div data-note="a > b" class="content">'
+            f"<p>{text}</p></div></article>{_RICH_COMMENTS}{_RICH_FOOTER}"
+        )
+    elif variant == 1:
+        toks = text.split(" ")
+        mid = (len(toks) + 1) // 2
+        body = (
+            f"{_RICH_NAV}{_RICH_SIDEBAR}<main>"
+            f'<p>{" ".join(toks[:mid])}</p><p>{" ".join(toks[mid:])}</p>'
+            f"</main>{_RICH_FOOTER}"
+        )
+    else:
+        body = (
+            f"<header>{title}</header><section><p>{text}</p></section>"
+            f"{_RICH_SIDEBAR}{_RICH_COMMENTS}{_RICH_FOOTER}"
+        )
+    return f"<html><head>{title}</head><body>{body}</body></html>"
+
+
+def _synth_rich_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "html": [
+                    _rich_html(int(d), t)
+                    for d, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+            }
+        )
+
+
+def rich_html_docs(spark, sf_dir):
+    """documents wrapped in the hard-boilerplate template, landed to
+    parquet once per (session, sf_dir) — the timed query pays for DOM
+    parse + extraction only."""
+    from ..matcache import materialize_once
+
+    def build():
+        (docs,) = load_tables(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(_synth_rich_batches, schema=DOM_HTML_SCHEMA)
+        )
+
+    return materialize_once(spark, sf_dir, "rich_html_docs", build)
+
+
+def _dom_extract_batches(batches):
+    from ..dom import extract_main_content
+    from ..malloc_tuning import pretouch_arena
+
+    pretouch_arena(64)
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "main_text": [extract_main_content(h) for h in pdf["html"]],
+            }
+        )
+
+
+def dom_main_content(spark, sf_dir):
+    """DOM-tree boilerplate strip over the pre-landed hard corpus; the
+    oracle is exact recovery of the pre-wrap text."""
+    docs = rich_html_docs(spark, sf_dir)
+    return docs.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        _dom_extract_batches, schema=DOM_MAIN_SCHEMA
+    )
+
+
+ORACLE_DOM_MAIN = "SELECT doc_id, text AS main_text FROM documents"
+
+
+# ---------------------------------------------------------------------------
 # Passage-level dedup: rolling W-token windows at a fixed stride, hashed
 # and grouped — the scalable form of "find passages repeated across the
 # corpus" (suffix arrays don't distribute; stride-windowed hashing does,
@@ -291,14 +413,96 @@ def pdf_text_extraction(spark, sf_dir):
 ORACLE_PDF_TEXT = "SELECT doc_id, text AS pdf_text FROM documents"
 
 
+# ---------------------------------------------------------------------------
+# PDF *layout* parse: the corpus row encodes each document as a
+# two-column page whose show operators are emitted row-interleaved and
+# right-to-left (pdf.encode_pdf_columns), so stream-order extraction
+# returns scrambled text and only the positional parser + column
+# reading-order analysis (pdf.extract_pdf_text_layout) recovers the
+# document. Same landed-once / parse-only-timed split as the linear
+# PDF row; per-page layout is independent, so the plan is scan + one
+# Arrow stage, no shuffle.
+PDF_LAYOUT_TEXT_SCHEMA = "doc_id bigint, layout_text string"
+
+
+def _encode_pdf_layout_batches(batches):
+    from ..malloc_tuning import pretouch_arena
+    from ..pdf import encode_pdf_columns
+
+    pretouch_arena(64)
+
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            toks = text.split(" ")
+            mid = (len(toks) + 1) // 2
+            cols = []
+            for half in (toks[:mid], toks[mid:]):
+                cols.append(
+                    [
+                        " ".join(half[i : i + PDF_LINE_WORDS])
+                        for i in range(0, len(half), PDF_LINE_WORDS)
+                    ]
+                )
+            payloads.append(encode_pdf_columns(cols))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def pdf_layout_payload_table(spark, sf_dir):
+    from ..matcache import materialize_once
+
+    def build():
+        (docs,) = load_tables(spark, sf_dir, "documents")
+        return (
+            docs.select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(_encode_pdf_layout_batches, schema=PDF_PAYLOAD_SCHEMA)
+        )
+
+    return materialize_once(spark, sf_dir, "pdf_layout_payloads", build)
+
+
+def _extract_layout_batches(batches):
+    from ..malloc_tuning import pretouch_arena
+    from ..pdf import PdfParseError, extract_pdf_text_layout
+
+    pretouch_arena(64)
+
+    for pdf in batches:
+        texts = []
+        for p in pdf["payload"]:
+            try:
+                texts.append(" ".join(extract_pdf_text_layout(bytes(p))))
+            except PdfParseError:
+                texts.append(None)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "layout_text": texts})
+
+
+def pdf_layout_extraction(spark, sf_dir):
+    """Positional parse + column reading order over the two-column
+    payloads; the oracle is exact identity recovery, which stream-order
+    extraction cannot produce on this corpus."""
+    payloads = pdf_layout_payload_table(spark, sf_dir)
+    return payloads.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_extract_layout_batches, schema=PDF_LAYOUT_TEXT_SCHEMA)
+
+
+ORACLE_PDF_LAYOUT = "SELECT doc_id, text AS layout_text FROM documents"
+
+
 QUERIES = {
     "html_main_content": html_main_content,
+    "dom_main_content": dom_main_content,
     "repeated_passage_spans": repeated_passage_spans,
     "pdf_text_extraction": pdf_text_extraction,
+    "pdf_layout_extraction": pdf_layout_extraction,
 }
 
 ORACLES = {
     "html_main_content": ORACLE_MAIN_CONTENT,
+    "dom_main_content": ORACLE_DOM_MAIN,
     "repeated_passage_spans": ORACLE_REPEATED_PASSAGES,
     "pdf_text_extraction": ORACLE_PDF_TEXT,
+    "pdf_layout_extraction": ORACLE_PDF_LAYOUT,
 }

@@ -77,7 +77,62 @@ def encode_pdf(
     stream order."""
     if pages is None:
         pages = [lines]
-    n_pages = len(pages)
+    return _assemble([_page_content(p, compress) for p in pages])
+
+
+def _columns_content(
+    columns: list[list[str]],
+    xs: tuple[int, ...],
+    top: int,
+    dy: int,
+    compress: bool,
+) -> tuple[bytes, bytes]:
+    """Content stream for a multi-column page whose show operators are
+    EMITTED row-interleaved and right-to-left — stream order is
+    deliberately not reading order, so linear Tj collection produces
+    scrambled text and only a position-aware parser recovers the
+    document. Even columns position with Tm, odd columns with a fresh
+    BT + Td, so fixtures exercise both text-positioning operators."""
+    ops = [b"BT /F1 12 Tf"]
+    n_rows = max((len(c) for c in columns), default=0)
+    for row in range(n_rows):
+        for ci in reversed(range(len(columns))):
+            if row >= len(columns[ci]):
+                continue
+            x, y = xs[ci], top - dy * row
+            s = _escape_string(columns[ci][row].encode("latin-1"))
+            if ci % 2 == 0:
+                ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x, y, s))
+            else:
+                ops.append(b"ET BT /F1 12 Tf %d %d Td (%s) Tj" % (x, y, s))
+    ops.append(b"ET")
+    content = b" ".join(ops)
+    filt = b""
+    if compress:
+        content = zlib.compress(content, 6)
+        filt = b" /Filter /FlateDecode"
+    return content, filt
+
+
+def encode_pdf_columns(
+    columns: list[list[str]],
+    xs: tuple[int, ...] = (72, 320),
+    top: int = 720,
+    dy: int = 14,
+    compress: bool = True,
+) -> bytes:
+    """Single-page PDF laying ``columns`` (lists of line strings) out
+    side-by-side at the given x origins. See ``_columns_content`` for
+    the adversarial emission order."""
+    if len(columns) > len(xs):
+        raise ValueError("more columns than x origins")
+    return _assemble([_columns_content(columns, xs, top, dy, compress)])
+
+
+def _assemble(content_pairs: list[tuple[bytes, bytes]]) -> bytes:
+    """Wrap per-page (content, filter-entry) pairs into a complete PDF
+    document with an honest xref table."""
+    n_pages = len(content_pairs)
     # Object layout: 1 catalog, 2 pages root, then per page (page obj,
     # content stream), font last.
     font_num = 2 + 2 * n_pages + 1
@@ -86,8 +141,7 @@ def encode_pdf(
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages),
     ]
-    for i, page_lines in enumerate(pages):
-        content, filt = _page_content(page_lines, compress)
+    for i, (content, filt) in enumerate(content_pairs):
         objects.append(
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >> >> >>"
@@ -244,3 +298,140 @@ def extract_pdf_text(data: bytes) -> list[str]:
     for stream in _content_streams(data):
         shows.extend(_shows_from_content(stream))
     return [s.decode("latin-1") for s in shows]
+
+
+# ---------------------------------------------------------------------------
+# Positional extraction + layout analysis ("PDF/layout parse"): track the
+# text-positioning operators through each content stream, emit (x, y, text)
+# runs, then recover reading order by clustering x origins into columns —
+# the born-digital analogue of the OCR pipeline's line/column analysis
+# (`kernels/layout.py`), needed because PDF show order is arbitrary.
+
+_DIGITS = frozenset(b"0123456789.")
+_NUM_START = frozenset(b"0123456789.+-")
+_NAME_DELIMS = frozenset(b" \t\r\n/[]()<>{}%")
+
+
+def _runs_from_content(content: bytes) -> list[tuple[float, float, bytes]]:
+    """(x, y, text) per show operator. Position is the line-matrix
+    translation at show time (Td/TD/Tm/TL/T*/BT tracked; intra-line
+    advances from glyph widths and TJ kern numbers are ignored — runs
+    on one line that share a start carry the same x, which the layout
+    pass resolves by emission order within (column, line))."""
+    runs: list[tuple[float, float, bytes]] = []
+    stack: list[float] = []
+    array: list[bytes] | None = None
+    strings: list[bytes] = []
+    lx = ly = leading = 0.0
+    i, n = 0, len(content)
+    while i < n:
+        ch = content[i]
+        if ch == 0x28:  # (
+            s, i = _parse_literal_string(content, i)
+            if array is not None:
+                array.append(s)
+            else:
+                strings = [s]
+            continue
+        if ch == 0x5B:  # [
+            array = []
+            i += 1
+            continue
+        if ch == 0x5D:  # ]
+            i += 1
+            continue
+        if ch == 0x2F:  # /name: skip to delimiter
+            i += 1
+            while i < n and content[i] not in _NAME_DELIMS:
+                i += 1
+            continue
+        if ch in _NUM_START:
+            j = i + 1
+            while j < n and content[j] in _DIGITS:
+                j += 1
+            try:
+                stack.append(float(content[i:j]))
+            except ValueError as exc:
+                raise PdfParseError(f"bad numeric operand: {content[i:j]!r}") from exc
+            i = j
+            continue
+        if 0x41 <= ch <= 0x5A or 0x61 <= ch <= 0x7A or ch in (0x2A, 0x27, 0x22):
+            j = i
+            while j < n and (
+                0x41 <= content[j] <= 0x5A
+                or 0x61 <= content[j] <= 0x7A
+                or content[j] in (0x2A, 0x27, 0x22)
+            ):
+                j += 1
+            op = content[i:j]
+            if op == b"BT":
+                lx = ly = leading = 0.0
+            elif op == b"Td" and len(stack) >= 2:
+                lx += stack[-2]
+                ly += stack[-1]
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -stack[-1]
+                lx += stack[-2]
+                ly += stack[-1]
+            elif op == b"Tm" and len(stack) >= 6:
+                lx, ly = stack[-2], stack[-1]
+            elif op == b"TL" and stack:
+                leading = stack[-1]
+            elif op == b"T*":
+                ly -= leading
+            elif op == b"Tj" and strings:
+                runs.append((lx, ly, strings[-1]))
+            elif op == b"'" and strings:
+                ly -= leading
+                runs.append((lx, ly, strings[-1]))
+            elif op == b"TJ" and array is not None:
+                runs.append((lx, ly, b"".join(array)))
+                array = None
+            # Operands belong to exactly one operator: clear even on
+            # ops we don't model (Tf, Tc, rg, ...) so stray numbers
+            # never leak into the next operator's operand window.
+            stack = []
+            strings = []
+            i = j
+            continue
+        i += 1
+    return runs
+
+
+def extract_pdf_runs(data: bytes) -> list[list[tuple[float, float, bytes]]]:
+    """Positioned text runs, one list per content stream (= per page;
+    pages reuse the same coordinate space, so layout is per-page)."""
+    return [_runs_from_content(s) for s in _content_streams(data)]
+
+
+def reading_order(
+    runs: list[tuple[float, float, bytes]], col_gap: float = 50.0
+) -> list[str]:
+    """Order runs for reading: cluster x origins into columns wherever
+    consecutive sorted origins gap by more than ``col_gap`` (chain
+    clustering, so ragged indents within a column stay together),
+    then emit columns left-to-right, lines top-to-bottom, ties
+    left-to-right. A single-column page degenerates to sort-by-y."""
+    if not runs:
+        return []
+    xs = sorted({r[0] for r in runs})
+    col_of: dict[float, int] = {xs[0]: 0}
+    col = 0
+    for prev, x in zip(xs, xs[1:]):
+        if x - prev > col_gap:
+            col += 1
+        col_of[x] = col
+    ordered = sorted(
+        range(len(runs)),
+        key=lambda k: (col_of[runs[k][0]], -runs[k][1], runs[k][0], k),
+    )
+    return [runs[k][2].decode("latin-1") for k in ordered]
+
+
+def extract_pdf_text_layout(data: bytes, col_gap: float = 50.0) -> list[str]:
+    """Layout-aware text extraction: per-page positioned runs reordered
+    into reading order, pages concatenated in document order."""
+    out: list[str] = []
+    for page_runs in extract_pdf_runs(data):
+        out.extend(reading_order(page_runs, col_gap))
+    return out
