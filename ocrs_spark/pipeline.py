@@ -5,7 +5,7 @@ Plan shape (SURVEY.md §3.4, mandated by the north rule):
 
     documents
       -> explode(spans)                      [UNNEST; unit of work = span]
-      -> filter kind in (image, pdf)         [text spans never touch Python]
+      -> filter kind in (image, pdf, html)   [text spans never touch Python]
       -> left-anti join committed ledger     [resume pruning]
       -> join media payloads                 [broadcast when small]
       -> repartition(hash(doc_id, offset))   [skew: schedule ~1 image/unit,
@@ -46,7 +46,18 @@ SPAN_STRUCT = "struct<kind:string,text:string,media_ref:string,offset:int>"
 # payload magic bytes inside the kernel — a 'pdf' span whose payload is
 # really an image still OCRs, and vice versa — so the kinds only gate
 # which spans become work units.
-MEDIA_KINDS = ("image", "pdf")
+MEDIA_KINDS = ("image", "pdf", "html")
+
+
+def _looks_like_html(payload: bytes) -> bool:
+    """Payload sniff for the kernel dispatch: HTML documents start with
+    '<' (after optional whitespace/BOM); no supported binary image or
+    PDF format does (PNG \\x89, JPEG \\xff\\xd8, RIFF 'R', RAWI/RLEI
+    magics, '%PDF-')."""
+    head = payload[:64]
+    if head.startswith(b"\xef\xbb\xbf"):
+        head = head[3:]
+    return head.lstrip(b" \t\r\n").startswith(b"<")
 
 # ----------------------------------------------------------------- engine
 
@@ -102,8 +113,9 @@ def make_ocr_udf(engine_conf: dict):
             greys = [None] * n
             # Decode + normalize the whole Arrow batch first. Payloads
             # dispatch on magic bytes: born-digital PDFs are parsed
-            # directly (no rasterize/OCR), everything else goes through
-            # the image decoders into the OCR stages below.
+            # directly (no rasterize/OCR), HTML documents get the
+            # DOM-heuristic boilerplate strip, everything else goes
+            # through the image decoders into the OCR stages below.
             for i in range(n):
                 try:
                     payload = bytes(pdf["bytes"].iloc[i])
@@ -114,6 +126,19 @@ def make_ocr_udf(engine_conf: dict):
                         texts[i] = "\n".join(shown)
                         n_lines[i] = sum(1 for s in shown if s)
                         n_words[i] = sum(len(s.split()) for s in shown)
+                    elif _looks_like_html(payload):
+                        from .dom import keep_block, parse_html, text_blocks
+
+                        kept = [
+                            b.text
+                            for b in text_blocks(
+                                parse_html(payload.decode("utf-8", "replace"))
+                            )
+                            if keep_block(b)
+                        ]
+                        texts[i] = "\n".join(kept)
+                        n_lines[i] = len(kept)
+                        n_words[i] = sum(len(t.split()) for t in kept)
                     else:
                         img = decode_image(payload)
                         greys[i] = engine.prepare_input(img)

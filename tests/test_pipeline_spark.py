@@ -256,3 +256,75 @@ def test_pdf_spans_flow_through_pipeline(spark):
         ("image", want_ocr, "m-img", 2),
         ("text", "outro", None, 3),
     ]
+
+
+def test_html_spans_flow_through_pipeline(spark):
+    """HTML media dispatch: a corpus mixing text, html, pdf, and image
+    spans must reweave with the HTML's boilerplate-stripped main text in
+    place — all four kinds through one pipeline, one media table,
+    magic-byte dispatch inside the fused kernel."""
+    import numpy as np
+
+    from ocrs_spark.codec import encode_png
+    from ocrs_spark.fixtures import MEDIA_SCHEMA, fake_engine, make_word_image
+    from ocrs_spark.pdf import encode_pdf
+    from ocrs_spark.pipeline import SPAN_STRUCT
+
+    img = make_word_image(2)
+    eng = fake_engine()
+    want_ocr = eng.get_text(eng.prepare_input(np.transpose(img, (2, 0, 1)), chw=True))
+    pdf_payload = encode_pdf(["born digital line"])
+    html_payload = (
+        "<html><body><nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<p>kept article paragraph body one</p>"
+        "<p>kept article paragraph body two</p>"
+        "<footer>all rights reserved by the site</footer></body></html>"
+    ).encode()
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    {"kind": "text", "text": "intro", "media_ref": None, "offset": 0},
+                    {"kind": "html", "text": None, "media_ref": "m-html", "offset": 1},
+                    {"kind": "pdf", "text": None, "media_ref": "m-pdf", "offset": 2},
+                    {"kind": "image", "text": None, "media_ref": "m-img", "offset": 3},
+                    {"kind": "text", "text": "outro", "media_ref": None, "offset": 4},
+                ],
+            )
+        ],
+        schema=f"doc_id string, spans array<{SPAN_STRUCT}>",
+    )
+    media = spark.createDataFrame(
+        [
+            ("m-html", bytearray(html_payload), 0, 0, 0),
+            ("m-pdf", bytearray(pdf_payload), 0, 0, 0),
+            ("m-img", bytearray(encode_png(img)), img.shape[1], img.shape[0], 3),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    woven = spans_as_tuples(ocr_documents(docs, media))
+    assert woven["d1"] == [
+        ("text", "intro", None, 0),
+        (
+            "html",
+            "kept article paragraph body one\nkept article paragraph body two",
+            "m-html",
+            1,
+        ),
+        ("pdf", "born digital line", "m-pdf", 2),
+        ("image", want_ocr, "m-img", 3),
+        ("text", "outro", None, 4),
+    ]
+
+
+def test_html_sniff_requires_leading_angle_bracket():
+    from ocrs_spark.pipeline import _looks_like_html
+
+    assert _looks_like_html(b"<!DOCTYPE html><html></html>")
+    assert _looks_like_html(b"\xef\xbb\xbf  \n<html>x</html>")
+    assert not _looks_like_html(b"%PDF-1.4 ...")
+    assert not _looks_like_html(b"\x89PNG\r\n\x1a\n")
+    assert not _looks_like_html(b"RIFF....WEBP")
+    assert not _looks_like_html(b"plain text payload")
