@@ -225,6 +225,95 @@ def build_ocr_corpus(spark, n_media: int = OCR_BENCH_MEDIA, n_docs: int = OCR_BE
     return docs, media, n_images, n_spans
 
 
+# Born-digital probe corpora: encoded ONCE per bench run by the parent
+# process on all host cores, landed as parquet, and read by every probe
+# JVM — both cluster sizes parse the identical bytes (the north rule's
+# "same job, same input"), and no pinned 2-core JVM ever pays the
+# encode cost. Sized so the hi-cores extract wall is ~6-10 s: at
+# shorter walls the fixed per-job floor (~1 s of scheduling + Arrow
+# ramp) dominates the ratio (measured: 96k PDFs @8 cores = 4.2 s wall
+# -> 0.75 ratio while the parse kernel itself scales at 0.97).
+BD_CORPUS_DIR = os.path.join(REPO, ".bench_scratch", "borndigital")
+BD_PDF_DOCS = 144000
+BD_HTML_DOCS = 120000
+BD_PARTS = 16
+
+
+def _bd_text(d: int) -> str:
+    return " ".join(f"tok{(d * 31 + i) % 97}" for i in range(1, 241))
+
+
+def _bd_pdf_part(args):
+    start, count, path = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_spark.ops.webdoc import PDF_LINE_WORDS
+    from ocrs_spark.pdf import encode_pdf
+
+    ids, payloads = [], []
+    for d in range(start, start + count):
+        toks = _bd_text(d).split(" ")
+        lines = [
+            " ".join(toks[i : i + PDF_LINE_WORDS])
+            for i in range(0, len(toks), PDF_LINE_WORDS)
+        ]
+        ids.append(d)
+        payloads.append(encode_pdf(lines))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        ),
+        path,
+    )
+
+
+def _bd_html_part(args):
+    start, count, path = args
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrs_spark.ops.webdoc import _rich_html
+
+    ids = list(range(start, start + count))
+    htmls = [_rich_html(d, _bd_text(d)) for d in ids]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "html": pa.array(htmls, pa.string())}
+        ),
+        path,
+    )
+
+
+def build_borndigital_corpus() -> str:
+    """Idempotent: a .complete marker skips rebuilds within/between runs
+    (the corpus is deterministic, so stale reuse is safe)."""
+    from multiprocessing import Pool
+
+    done = os.path.join(BD_CORPUS_DIR, ".complete")
+    if os.path.exists(done):
+        return BD_CORPUS_DIR
+    for sub, n, worker in (
+        ("pdf.parquet", BD_PDF_DOCS, _bd_pdf_part),
+        ("html.parquet", BD_HTML_DOCS, _bd_html_part),
+    ):
+        d = os.path.join(BD_CORPUS_DIR, sub)
+        os.makedirs(d, exist_ok=True)
+        per = n // BD_PARTS
+        jobs = [
+            (p * per, per, os.path.join(d, f"part-{p:02d}.parquet"))
+            for p in range(BD_PARTS)
+        ]
+        with Pool(BD_PARTS) as pool:
+            pool.map(worker, jobs)
+    with open(done, "w") as f:
+        f.write("ok")
+    return BD_CORPUS_DIR
+
+
 def _pin_to_cpus(n: int) -> list[int]:
     """Pin this process (and the JVM + Python workers it spawns, which
     inherit the affinity mask) to exactly ``n`` CPUs. This is the honest
@@ -238,10 +327,14 @@ def _pin_to_cpus(n: int) -> list[int]:
     return cpus
 
 
-def run_ocr_scale(cores: int) -> dict:
+def run_ocr_scale(cores: int, bd_dir: str | None = None) -> dict:
     from ocrs_spark.pipeline import ocr_documents
     from ocrs_spark.session import get_spark
 
+    # Resolve/build the born-digital corpus BEFORE pinning: a standalone
+    # invocation builds it on all host cores, never inside the pin.
+    if bd_dir is None:
+        bd_dir = build_borndigital_corpus()
     pinned = _pin_to_cpus(cores)
     spark = get_spark(
         app_name=f"ocrs_bench_{cores}",
@@ -276,39 +369,32 @@ def run_ocr_scale(cores: int) -> dict:
     n_docs = docs.count()
 
     # Second metric in the same pinned JVM: born-digital PDF extraction
-    # throughput (the pipeline's non-OCR media leg). Payloads are
-    # encoded OUTSIDE the timed run; the timed path parses only.
-    from pyspark.sql import functions as F
-
+    # throughput (the pipeline's non-OCR media leg). Payloads come
+    # pre-encoded from the parent-built parquet corpus; the timed path
+    # parses only.
     from ocrs_spark.ops.webdoc import (
-        PDF_PAYLOAD_SCHEMA,
         PDF_TEXT_SCHEMA,
-        _encode_pdf_batches,
         _extract_pdf_batches,
     )
 
     # Row-heavy phase: the session's 64-row Arrow batches are tuned for
     # image payloads; PDF rows are ~4 KB, so batch them properly.
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-    n_pdfs = 96000
-    text_expr = (
-        "array_join(transform(sequence(1, 240),"
-        " i -> concat('tok', pmod(id * 31 + i, 97))), ' ')"
-    )
-    pdf_docs = spark.range(n_pdfs).select(
-        F.col("id").alias("doc_id"), F.expr(text_expr).alias("text")
-    )
+    # The deterministic corpus dictionary-encodes to a few MB on disk,
+    # so the scan alone would coalesce to ONE input partition; the
+    # explicit pre-cache repartition restores the task grain (outside
+    # the timed path).
     payloads = (
-        pdf_docs.repartition(cores * 2)
-        .mapInPandas(_encode_pdf_batches, schema=PDF_PAYLOAD_SCHEMA)
+        spark.read.parquet(os.path.join(bd_dir, "pdf.parquet"))
+        .repartition(BD_PARTS)
         .cache()
     )
-    payloads.count()  # encode + cache before timing
+    n_pdfs = payloads.count()  # load + cache before timing
 
     def _pdf_run():
-        # No reshuffle in the timed path: the cached payloads already
-        # sit in cores*2 uniform partitions, so the run measures parse,
-        # not a fixed exchange floor.
+        # No reshuffle in the timed path: the cached corpus already sits
+        # in BD_PARTS uniform partitions (>= 2*cores at both probe
+        # levels), so the run measures parse, not an exchange floor.
         _force(
             payloads.mapInPandas(_extract_pdf_batches, schema=PDF_TEXT_SCHEMA)
         )
@@ -320,6 +406,32 @@ def run_ocr_scale(cores: int) -> dict:
         _pdf_run()
         dt = time.perf_counter() - t0
         pdf_wall = dt if pdf_wall is None else min(pdf_wall, dt)
+
+    # Third metric, same pinned JVM: HTML main-content extraction
+    # throughput (the DOM-heuristic boilerplate strip — the north
+    # rule's third extraction leg). Same pre-built corpus pattern; the
+    # timed path parses + extracts only.
+    from ocrs_spark.ops.webdoc import DOM_MAIN_SCHEMA, _dom_extract_batches
+
+    html_payloads = (
+        spark.read.parquet(os.path.join(bd_dir, "html.parquet"))
+        .repartition(BD_PARTS)
+        .cache()
+    )
+    n_html = html_payloads.count()
+
+    def _html_run():
+        _force(
+            html_payloads.mapInPandas(_dom_extract_batches, schema=DOM_MAIN_SCHEMA)
+        )
+
+    _html_run()  # warm
+    html_wall = None
+    for _ in range(OCR_TIMED_REPEATS):
+        t0 = time.perf_counter()
+        _html_run()
+        dt = time.perf_counter() - t0
+        html_wall = dt if html_wall is None else min(html_wall, dt)
 
     spark.stop()
     return {
@@ -335,6 +447,9 @@ def run_ocr_scale(cores: int) -> dict:
         "pdf_docs": n_pdfs,
         "pdf_wall_sec": round(pdf_wall, 3),
         "pdf_docs_per_sec": round(n_pdfs / pdf_wall, 2),
+        "html_docs": n_html,
+        "html_wall_sec": round(html_wall, 3),
+        "html_docs_per_sec": round(n_html / html_wall, 2),
     }
 
 
@@ -419,6 +534,43 @@ def _mp_pdf_worker(args):
     return n_docs / (_t.perf_counter() - t0)
 
 
+def _mp_html_worker(args):
+    seed, n_docs = args
+    import time as _t
+
+    from ocrs_spark.dom import extract_main_content
+    from ocrs_spark.ops.webdoc import _rich_html
+
+    pages = [
+        _rich_html(
+            d,
+            " ".join(f"tok{(d * 31 + seed + i) % 97}" for i in range(240)),
+        )
+        for d in range(n_docs)
+    ]
+    for p in pages:  # warm
+        extract_main_content(p)
+    t0 = _t.perf_counter()
+    for p in pages:
+        extract_main_content(p)
+    return n_docs / (_t.perf_counter() - t0)
+
+
+def html_mp_scaling(n_docs: int = 800) -> dict:
+    """The DOM-extraction kernel's own N-vs-4N scaling via plain
+    multiprocessing — the engine-scaling component of the HTML leg."""
+    from multiprocessing import Pool
+
+    out = {}
+    lo, hi = OCR_SCALE_CORES
+    for procs in (lo, hi):
+        with Pool(procs) as p:
+            rates = p.map(_mp_html_worker, [(s, n_docs) for s in range(procs)])
+        out[f"procs{procs}"] = round(sum(rates), 2)
+    out["efficiency"] = round(out[f"procs{hi}"] / ((hi / lo) * out[f"procs{lo}"]), 3)
+    return out
+
+
 def pdf_mp_scaling(n_docs: int = 2500) -> dict:
     """The PDF parse kernel's own N-vs-4N scaling via plain
     multiprocessing — the engine-scaling component of the born-digital
@@ -477,10 +629,17 @@ def _probe_once() -> dict:
     host's noisy-neighbor variance (3x observed on identical runs)
     otherwise dominates the ratio being measured."""
     out = {}
+    bd_dir = build_borndigital_corpus()  # parent build, all host cores
     for attempt in range(OCR_SCALE_ATTEMPTS):
         for cores in OCR_SCALE_CORES:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--ocr-scale", str(cores)],
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--ocr-scale",
+                    str(cores),
+                    bd_dir,
+                ],
                 capture_output=True,
                 text=True,
                 cwd=REPO,
@@ -494,10 +653,11 @@ def _probe_once() -> dict:
     t_lo = out[f"local{lo}"]["images_per_sec"]
     t_hi = out[f"local{hi}"]["images_per_sec"]
     out["scaling_efficiency"] = round(t_hi / ((hi / lo) * t_lo), 3)
-    p_lo = out[f"local{lo}"].get("pdf_docs_per_sec")
-    p_hi = out[f"local{hi}"].get("pdf_docs_per_sec")
-    if p_lo and p_hi:
-        out["pdf_scaling_efficiency"] = round(p_hi / ((hi / lo) * p_lo), 3)
+    for leg in ("pdf", "html"):
+        r_lo = out[f"local{lo}"].get(f"{leg}_docs_per_sec")
+        r_hi = out[f"local{hi}"].get(f"{leg}_docs_per_sec")
+        if r_lo and r_hi:
+            out[f"{leg}_scaling_efficiency"] = round(r_hi / ((hi / lo) * r_lo), 3)
     return out
 
 
@@ -525,6 +685,7 @@ def run_scaling_probe() -> dict:
                     f"local{hi}_img_s": out[f"local{hi}"]["images_per_sec"],
                     "scaling_efficiency": out["scaling_efficiency"],
                     "pdf_scaling_efficiency": out.get("pdf_scaling_efficiency"),
+                    "html_scaling_efficiency": out.get("html_scaling_efficiency"),
                 }
             )
         return row
@@ -533,15 +694,18 @@ def run_scaling_probe() -> dict:
         out["host_capacity"] = cap
         out["engine_mp_scaling"] = engine_mp_scaling()
         out["pdf_mp_scaling"] = pdf_mp_scaling()
-        # Best PDF-leg round may differ from the best OCR round (the
-        # loop stops on the OCR criterion); surface the leg's best too.
-        pdf_effs = [
-            r.get("pdf_scaling_efficiency")
-            for r in rounds_log
-            if r.get("pdf_scaling_efficiency") is not None
-        ]
-        if pdf_effs:
-            out["pdf_scaling_efficiency_best_round"] = max(pdf_effs)
+        out["html_mp_scaling"] = html_mp_scaling()
+        # Best PDF/HTML-leg round may differ from the best OCR round
+        # (the loop stops on the OCR criterion); surface each leg's
+        # best too.
+        for leg in ("pdf", "html"):
+            effs = [
+                r.get(f"{leg}_scaling_efficiency")
+                for r in rounds_log
+                if r.get(f"{leg}_scaling_efficiency") is not None
+            ]
+            if effs:
+                out[f"{leg}_scaling_efficiency_best_round"] = max(effs)
         # Normalized by the full-footprint capacity ratio AND by the
         # plain lo-vs-hi ratio (the round-1 methodology) — both shown,
         # so methodology changes never masquerade as engine gains.
@@ -611,22 +775,29 @@ def update_best_scaling(ocr: dict) -> dict:
             for k in ("images_per_sec", "spans_per_sec", "docs_per_sec", "wall_sec")
         },
     }
-    # The OCR criterion picks the record; the PDF leg's best is tracked
-    # independently (its best round/window can differ).
-    pdf_candidates = [
-        ocr.get("pdf_scaling_efficiency"),
-        ocr.get("pdf_scaling_efficiency_best_round"),
-        (best or {}).get("pdf_scaling_efficiency_best"),
-    ]
-    pdf_best = max((x for x in pdf_candidates if x is not None), default=None)
+    # The OCR criterion picks the record; each born-digital leg's best
+    # is tracked independently (its best round/window can differ).
+    leg_best = {}
+    for leg in ("pdf", "html"):
+        candidates = [
+            ocr.get(f"{leg}_scaling_efficiency"),
+            ocr.get(f"{leg}_scaling_efficiency_best_round"),
+            (best or {}).get(f"{leg}_scaling_efficiency_best"),
+        ]
+        leg_best[leg] = max((x for x in candidates if x is not None), default=None)
     if best is None or cur["scaling_efficiency"] > best.get("scaling_efficiency", 0):
-        if pdf_best is not None:
-            cur["pdf_scaling_efficiency_best"] = pdf_best
+        for leg, v in leg_best.items():
+            if v is not None:
+                cur[f"{leg}_scaling_efficiency_best"] = v
         with open(BEST_SCALING_PATH, "w") as f:
             json.dump(cur, f, indent=1)
         return cur
-    if pdf_best is not None and pdf_best != best.get("pdf_scaling_efficiency_best"):
-        best["pdf_scaling_efficiency_best"] = pdf_best
+    changed = False
+    for leg, v in leg_best.items():
+        if v is not None and v != best.get(f"{leg}_scaling_efficiency_best"):
+            best[f"{leg}_scaling_efficiency_best"] = v
+            changed = True
+    if changed:
         with open(BEST_SCALING_PATH, "w") as f:
             json.dump(best, f, indent=1)
     return best
@@ -701,6 +872,16 @@ def write_bench_md(sf_dir: str, timings: dict, ocr: dict) -> None:
         "at seconds-scale walls the Spark-path ratio additionally pays a fixed "
         "per-job floor that a long-running corpus job amortizes away.",
         "",
+        f"**HTML main-content extraction leg (DOM boilerplate strip, same pinned JVMs): "
+        f"{ocr[f'local{OCR_SCALE_CORES[0]}'].get('html_docs_per_sec', 'n/a')} docs/s @{OCR_SCALE_CORES[0]} -> "
+        f"{ocr[f'local{OCR_SCALE_CORES[1]}'].get('html_docs_per_sec', 'n/a')} docs/s @{OCR_SCALE_CORES[1]}, "
+        f"efficiency {ocr.get('html_scaling_efficiency', 'n/a')}** "
+        f"(best probe round this run: {ocr.get('html_scaling_efficiency_best_round', 'n/a')}; "
+        f"best on record: {best.get('html_scaling_efficiency_best', 'n/a')}) — the "
+        "north rule's third extraction leg, synthesized-and-cached corpus with a "
+        "parse-only timed path. The DOM kernel itself via plain multiprocessing, "
+        f"same window: {json.dumps(ocr.get('html_mp_scaling', {}))}.",
+        "",
         f"Engine-kernel scaling via plain multiprocessing (no JVM/Arrow), same window: "
         f"{mp.get(f'procs{OCR_SCALE_CORES[0]}', 'n/a')} -> "
         f"{mp.get(f'procs{OCR_SCALE_CORES[1]}', 'n/a')} img/s, efficiency "
@@ -722,7 +903,8 @@ def write_bench_md(sf_dir: str, timings: dict, ocr: dict) -> None:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--ocr-scale":
-        print(json.dumps(run_ocr_scale(int(sys.argv[2]))))
+        bd_dir = sys.argv[3] if len(sys.argv) > 3 else None
+        print(json.dumps(run_ocr_scale(int(sys.argv[2]), bd_dir)))
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
