@@ -73,6 +73,7 @@ HEADLINE = [
     "repeated_passage_spans",
     "pdf_text_extraction",
     "pdf_layout_extraction",
+    "pdf_mixed_extraction",
     "multimodal_decode_meta",
     "events_sessionize",
     "ann_ivf_topk",

@@ -21,6 +21,7 @@ def all_queries():
     from . import (
         dedup,
         multimodal,
+        pdfmixed,
         relational,
         similarity,
         skew,
@@ -30,7 +31,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed):
         out.update(mod.QUERIES)
     return out
 
@@ -39,6 +40,7 @@ def all_oracles():
     from . import (
         dedup,
         multimodal,
+        pdfmixed,
         relational,
         similarity,
         skew,
@@ -48,6 +50,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed):
         out.update(mod.ORACLES)
     return out
