@@ -74,6 +74,7 @@ HEADLINE = [
     "pdf_text_extraction",
     "pdf_layout_extraction",
     "pdf_mixed_extraction",
+    "warc_main_content",
     "multimodal_decode_meta",
     "events_sessionize",
     "ann_ivf_topk",

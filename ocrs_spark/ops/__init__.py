@@ -27,11 +27,12 @@ def all_queries():
         skew,
         streamrows,
         textstats,
+        webarchive,
         webdoc,
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive):
         out.update(mod.QUERIES)
     return out
 
@@ -46,10 +47,11 @@ def all_oracles():
         skew,
         streamrows,
         textstats,
+        webarchive,
         webdoc,
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive):
         out.update(mod.ORACLES)
     return out
