@@ -80,13 +80,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # boilerplate strip (expression-level AND DOM-heuristic legs), PDF
     # parse (linear and positional/layout), passage-level dedup — then
     # streaming + LLM-data-pipeline operators (dedup, ANN, text
-    # analysis, multimodal, skew), the orchestration analogues, and the
-    # TPC-H shapes. The 50-row cap displaces the five redundant TPC-H
-    # tail shapes (q12/q14/q16/q17/q20 — join+conditional-agg and
-    # semi-join variants whose plan families q4/q19/q21/q13 keep
-    # covered) to pytest-only: extraction rows are the graft's core
-    # and belong in the hard signal.
+    # analysis, multimodal, skew), the orchestration analogues, the
+    # from-spec Iceberg table scan the north rule mandates, and the
+    # TPC-H shapes. The 50-row cap displaces the six redundant TPC-H
+    # tail shapes (q6/q12/q14/q16/q17/q20 — single-table and
+    # join+conditional-agg variants whose plan families
+    # q1/q4/q19/q21/q13 keep covered) to pytest-only: extraction rows
+    # are the graft's core and belong in the hard signal.
     tier2 = [
+        "iceberg_snapshot_scan",
         "html_main_content", "dom_main_content", "pdf_text_extraction",
         "pdf_layout_extraction", "repeated_passage_spans",
         "stream_tumbling_agg", "stream_sessionize_closed",
@@ -104,7 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume", "q7_volume_shipping",
         "q18_large_volume_customer", "q10_returned_items",
         "q19_discounted_revenue", "q22_idle_balances", "q4_order_priority",
-        "q6_forecast_revenue", "q13_customer_distribution",
+        "q13_customer_distribution",
     ]
     for name in tier2:
         out[name] = pool.pop(name)

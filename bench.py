@@ -75,6 +75,10 @@ HEADLINE = [
     "pdf_layout_extraction",
     "pdf_mixed_extraction",
     "warc_main_content",
+    "iceberg_snapshot_scan",
+    "iceberg_time_travel_scan",
+    "iceberg_partition_pruned_scan",
+    "iceberg_bucket_point_lookup",
     "multimodal_decode_meta",
     "events_sessionize",
     "ann_ivf_topk",

@@ -1,0 +1,987 @@
+"""From-spec Apache Iceberg v2 tables on plain parquet + Avro metadata.
+
+The north-star pipeline reads and writes *Iceberg* tables of interleaved
+documents. The sandbox has no Iceberg runtime jar, so this module
+implements the table format itself from the public specification
+(https://iceberg.apache.org/spec/), on top of the from-spec Avro layer
+in ``ocrs_spark.avro_ocf``:
+
+    <location>/
+      metadata/v<N>.metadata.json       table metadata (schemas, specs,
+                                        snapshot list), format-version 2
+      metadata/version-hint.text        latest committed version hint
+      metadata/snap-<id>-<uuid>.avro    manifest list, one per snapshot
+      metadata/<uuid>-m0.avro           manifest file, one per append
+      data/<uuid>/[k=v/]part-*.parquet  data files (written by Spark)
+
+Everything the spec makes load-bearing is real:
+
+- **Snapshots + time travel**: every ``append`` commits a new snapshot
+  whose manifest list carries the new manifest plus all previous ones;
+  ``scan(snapshot_id=...)`` reads the table as of any retained snapshot.
+- **Atomic commits**: ``v<N>.metadata.json`` is published with the same
+  exclusive-create CAS primitive the checkpoint layer uses (Iceberg's
+  HadoopTableOperations protocol): racing committers retry on the next
+  version, a crash mid-commit leaves the previous version live, and
+  ``version-hint.text`` is a best-effort pointer readers can fall back
+  from by listing the metadata directory.
+- **Partition pruning**: identity and ``bucket[N]`` partition transforms
+  (murmur3_x86_32 per spec appendix B); manifest lists store per-field
+  partition summaries (contains_null / lower / upper in the spec's
+  single-value binary serialization), manifests store per-file partition
+  tuples and per-column bounds, and ``scan`` prunes first manifests,
+  then files, before Spark reads a single row group.
+- **Resume**: ``scan`` exposes committed file lists per snapshot, so the
+  extraction pipeline's anti-join resume (``ocrs_spark.checkpoint``) can
+  use an Iceberg table as its ledger; see ``IcebergDocumentSink``.
+
+Avro manifest/manifest-list schemas use the spec's required field names
+and field-ids (500-519 manifest list, 0-4 + 100-140 manifest entries),
+and the OCF files carry the spec's file-metadata keys (``schema``,
+``partition-spec``, ``format-version``, ``content``) — the Java Avro
+library bundled with Spark reads the files byte-for-byte (cross-checked
+in ``tests/test_avro_ocf.py``).
+
+Scale notes: commits are metadata-only (one footer read per new data
+file — the same per-file stats a real Iceberg writer collects from its
+tasks); scans materialize only file *lists* on the driver (bounded by
+file count, as in any Iceberg reader); data moves exclusively through
+Spark's parquet source, one read per partition tuple with the identity
+partition columns re-attached as literals (the constant-column trick
+Iceberg's own Spark source uses for identity-partitioned columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import urllib.parse
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .avro_ocf import read_ocf, write_ocf
+from .checkpoint import _PosixIO
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+# ---------------------------------------------------------------------------
+# spec appendix B: 32-bit murmur3 hash + bucket transform
+# ---------------------------------------------------------------------------
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public domain algorithm; Iceberg spec appendix B)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - (n % 4), 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - (n % 4) :]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(value, iceberg_type: str, n: int) -> int | None:
+    """Iceberg ``bucket[n]`` transform: (murmur3 & MAX_INT) % n.
+
+    ints are hashed as longs (8-byte little-endian), strings as UTF-8
+    bytes, per the spec's hash-function table.
+    """
+    if value is None:
+        return None
+    if iceberg_type in ("int", "long"):
+        data = struct.pack("<q", int(value))
+    elif iceberg_type == "string":
+        data = str(value).encode("utf-8")
+    elif iceberg_type == "binary":
+        data = bytes(value)
+    else:
+        raise ValueError(f"bucket transform unsupported for {iceberg_type}")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+# ---------------------------------------------------------------------------
+# schema conversion + single-value serialization
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "integer": "int",
+    "string": "string",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamptz",
+}
+
+
+def _iceberg_type(spark_type, next_id) -> object:
+    name = spark_type.typeName()
+    if name in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[name]
+    if name == "array":
+        eid = next_id()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(spark_type.elementType, next_id),
+            "element-required": not spark_type.containsNull,
+        }
+    if name == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": next_id(),
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(f.dataType, next_id),
+                }
+                for f in spark_type.fields
+            ],
+        }
+    if name == "map":
+        kid, vid = next_id(), next_id()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(spark_type.keyType, next_id),
+            "value-id": vid,
+            "value": _iceberg_type(spark_type.valueType, next_id),
+            "value-required": not spark_type.valueContainsNull,
+        }
+    raise ValueError(f"unsupported Spark type for Iceberg schema: {name}")
+
+
+def schema_from_spark(spark_schema) -> dict:
+    """Convert a Spark StructType to an Iceberg schema (fresh field-ids)."""
+    counter = {"id": 0}
+
+    def next_id():
+        counter["id"] += 1
+        return counter["id"]
+
+    fields = []
+    for f in spark_schema.fields:
+        fid = next_id()
+        fields.append(
+            {
+                "id": fid,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType, next_id),
+            }
+        )
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": fields,
+        "_last_column_id": counter["id"],
+    }
+
+
+def serialize_bound(value, iceberg_type: str) -> bytes | None:
+    """Iceberg single-value binary serialization (spec appendix D)."""
+    if value is None:
+        return None
+    if iceberg_type == "int":
+        return struct.pack("<i", int(value))
+    if iceberg_type == "long":
+        return struct.pack("<q", int(value))
+    if iceberg_type == "float":
+        return struct.pack("<f", float(value))
+    if iceberg_type == "double":
+        return struct.pack("<d", float(value))
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    return None  # other types: bounds omitted
+
+
+def deserialize_bound(data: bytes | None, iceberg_type: str):
+    if data is None:
+        return None
+    if iceberg_type == "int":
+        return struct.unpack("<i", data)[0]
+    if iceberg_type == "long":
+        return struct.unpack("<q", data)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", data)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", data)[0]
+    if iceberg_type == "string":
+        return data.decode("utf-8")
+    if iceberg_type == "boolean":
+        return data == b"\x01"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# manifest / manifest-list Avro schemas (spec field names + field-ids)
+# ---------------------------------------------------------------------------
+
+
+def _opt(t):
+    return ["null", t]
+
+
+def _field(name, t, fid, required=True):
+    f = {"name": name, "type": t if required else _opt(t), "field-id": fid}
+    if not required:
+        f["default"] = None
+    return f
+
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        _field("contains_null", "boolean", 509),
+        _field("contains_nan", "boolean", 518, required=False),
+        _field("lower_bound", "bytes", 510, required=False),
+        _field("upper_bound", "bytes", 511, required=False),
+    ],
+}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        _field("manifest_path", "string", 500),
+        _field("manifest_length", "long", 501),
+        _field("partition_spec_id", "int", 502),
+        _field("content", "int", 517),
+        _field("sequence_number", "long", 515),
+        _field("min_sequence_number", "long", 516),
+        _field("added_snapshot_id", "long", 503),
+        _field("added_files_count", "int", 504),
+        _field("existing_files_count", "int", 505),
+        _field("deleted_files_count", "int", 506),
+        _field("added_rows_count", "long", 512),
+        _field("existing_rows_count", "long", 513),
+        _field("deleted_rows_count", "long", 514),
+        _field(
+            "partitions",
+            {"type": "array", "items": _FIELD_SUMMARY, "element-id": 508},
+            507,
+            required=False,
+        ),
+        _field("key_metadata", "bytes", 519, required=False),
+    ],
+}
+
+
+def _manifest_entry_schema(partition_avro_fields: list) -> dict:
+    """Manifest-entry schema; the partition struct is spec-dependent."""
+    int_long_map = lambda kid, vid: {  # noqa: E731
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": f"k{kid}_v{vid}",
+            "fields": [
+                _field("key", "int", kid),
+                _field("value", "long", vid),
+            ],
+        },
+        "logicalType": "map",
+    }
+    int_bytes_map = lambda kid, vid: {  # noqa: E731
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": f"k{kid}_v{vid}",
+            "fields": [
+                _field("key", "int", kid),
+                _field("value", "bytes", vid),
+            ],
+        },
+        "logicalType": "map",
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            _field("content", "int", 134),
+            _field("file_path", "string", 100),
+            _field("file_format", "string", 101),
+            _field(
+                "partition",
+                {"type": "record", "name": "r102", "fields": partition_avro_fields},
+                102,
+            ),
+            _field("record_count", "long", 103),
+            _field("file_size_in_bytes", "long", 104),
+            _field("value_counts", int_long_map(119, 120), 109, required=False),
+            _field("null_value_counts", int_long_map(121, 122), 110, required=False),
+            _field("lower_bounds", int_bytes_map(126, 127), 125, required=False),
+            _field("upper_bounds", int_bytes_map(129, 130), 128, required=False),
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _field("status", "int", 0),
+            _field("snapshot_id", "long", 1, required=False),
+            _field("sequence_number", "long", 3, required=False),
+            _field("file_sequence_number", "long", 4, required=False),
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_ICEBERG_TO_AVRO = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "boolean": "boolean",
+    "float": "float",
+    "double": "double",
+    "binary": "bytes",
+}
+
+
+# ---------------------------------------------------------------------------
+# the table
+# ---------------------------------------------------------------------------
+
+
+class IcebergTable:
+    """A format-version-2 Iceberg table rooted at a local/posix path."""
+
+    def __init__(self, location: str, metadata: dict, version: int):
+        self.location = location.rstrip("/")
+        self.metadata = metadata
+        self.version = version
+        self._io = _PosixIO()
+
+    # -- creation / loading -------------------------------------------------
+
+    @staticmethod
+    def create(
+        location: str,
+        spark_schema,
+        partition_by: list[tuple[str, str]] | None = None,
+    ) -> "IcebergTable":
+        """Create a new table.
+
+        ``partition_by`` is a list of (column, transform) where transform
+        is ``"identity"`` or ``"bucket[N]"``.
+        """
+        location = location.rstrip("/")
+        schema = schema_from_spark(spark_schema)
+        last_column_id = schema.pop("_last_column_id")
+        by_name = {f["name"]: f for f in schema["fields"]}
+        spec_fields = []
+        for i, (col, transform) in enumerate(partition_by or []):
+            src = by_name[col]
+            if not isinstance(src["type"], str):
+                raise ValueError(f"cannot partition by nested column {col!r}")
+            name = col if transform == "identity" else f"{col}_{transform.split('[')[0]}"
+            spec_fields.append(
+                {
+                    "name": name,
+                    "transform": transform,
+                    "source-id": src["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        now = int(time.time() * 1000)
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(_uuid.uuid4()),
+            "location": location,
+            "last-sequence-number": 0,
+            "last-updated-ms": now,
+            "last-column-id": last_column_id,
+            "current-schema-id": 0,
+            "schemas": [schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"write.format.default": "parquet"},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        table = IcebergTable(location, metadata, version=0)
+        os.makedirs(f"{location}/metadata", exist_ok=True)
+        os.makedirs(f"{location}/data", exist_ok=True)
+        table._commit_metadata()
+        return table
+
+    @staticmethod
+    def load(location: str) -> "IcebergTable":
+        location = location.rstrip("/")
+        meta_dir = f"{location}/metadata"
+        version = None
+        hint = f"{meta_dir}/version-hint.text"
+        if os.path.exists(hint):
+            try:
+                version = int(open(hint).read().strip())
+            except ValueError:
+                version = None
+        if version is None or not os.path.exists(
+            f"{meta_dir}/v{version}.metadata.json"
+        ):
+            versions = [
+                int(n[1:].split(".")[0])
+                for n in os.listdir(meta_dir)
+                if n.startswith("v") and n.endswith(".metadata.json")
+            ]
+            if not versions:
+                raise FileNotFoundError(f"no Iceberg metadata at {location}")
+            version = max(versions)
+        with open(f"{meta_dir}/v{version}.metadata.json") as f:
+            return IcebergTable(location, json.load(f), version)
+
+    # -- schema / spec helpers ----------------------------------------------
+
+    def _schema(self) -> dict:
+        sid = self.metadata["current-schema-id"]
+        return next(s for s in self.metadata["schemas"] if s["schema-id"] == sid)
+
+    def _spec(self) -> dict:
+        sid = self.metadata["default-spec-id"]
+        return next(
+            s for s in self.metadata["partition-specs"] if s["spec-id"] == sid
+        )
+
+    def _field_by_id(self, fid: int) -> dict:
+        return next(f for f in self._schema()["fields"] if f["id"] == fid)
+
+    def _partition_columns(self) -> list[tuple[str, str, str, str]]:
+        """[(partition name, source column, transform, source iceberg type)]"""
+        out = []
+        for pf in self._spec()["fields"]:
+            src = self._field_by_id(pf["source-id"])
+            out.append((pf["name"], src["name"], pf["transform"], src["type"]))
+        return out
+
+    def snapshots(self) -> list[dict]:
+        return list(self.metadata["snapshots"])
+
+    def current_snapshot_id(self) -> int | None:
+        sid = self.metadata.get("current-snapshot-id", -1)
+        return None if sid in (-1, None) else sid
+
+    # -- commit protocol ----------------------------------------------------
+
+    def _commit_metadata(self) -> None:
+        """Publish self.metadata as the next version via exclusive-create
+        (HadoopTableOperations): losers of a version race re-read + retry
+        at the caller's level; the previous version file is never touched."""
+        meta_dir = f"{self.location}/metadata"
+        next_version = self.version + (1 if self.metadata["snapshots"] or self.version else 0)
+        if self.version == 0 and not os.path.exists(
+            f"{meta_dir}/v0.metadata.json"
+        ):
+            next_version = 0
+        tmp = f"{meta_dir}/.tmp-{_uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(self.metadata, f, indent=1)
+        while True:
+            dst = f"{meta_dir}/v{next_version}.metadata.json"
+            if self._io.publish_exclusive(tmp, dst):
+                break
+            next_version += 1
+        self.version = next_version
+        # best-effort pointer; readers fall back to a directory listing
+        hint_tmp = f"{meta_dir}/.hint-{_uuid.uuid4().hex}"
+        with open(hint_tmp, "w") as f:
+            f.write(str(next_version))
+        os.replace(hint_tmp, f"{meta_dir}/version-hint.text")
+
+    # -- append --------------------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        """Append a DataFrame as a new snapshot; returns the snapshot id.
+
+        Data files are written by Spark (hive-layout per partition tuple);
+        the commit itself is metadata-only: per-file stats come from one
+        parquet-footer read per new file, exactly the stats a real Iceberg
+        writer's tasks report back to its driver.
+        """
+        import pyarrow.parquet as pq
+
+        parts = self._partition_columns()
+        write_id = _uuid.uuid4().hex
+        data_dir = f"{self.location}/data/{write_id}"
+        out = df
+        part_names = []
+        for name, src, transform, src_type in parts:
+            if transform == "identity":
+                if name != src:
+                    out = out.withColumn(name, F.col(src))
+            elif transform.startswith("bucket["):
+                n = int(transform[len("bucket[") : -1])
+                out = out.withColumn(name, _bucket_column(src, src_type, n))
+            else:
+                raise ValueError(f"unsupported transform {transform!r}")
+            part_names.append(name)
+        writer = out.write.mode("append")
+        if part_names:
+            writer = writer.partitionBy(*part_names)
+        writer.parquet(data_dir)
+
+        # enumerate written files + their partition tuples from the layout
+        entries = []
+        schema_fields = {f["name"]: f for f in self._schema()["fields"]}
+        for root, _dirs, files in os.walk(data_dir):
+            rel = os.path.relpath(root, data_dir)
+            tuple_vals = {}
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    tuple_vals[k] = (
+                        None
+                        if v == _HIVE_NULL
+                        else urllib.parse.unquote(v)
+                    )
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, fn)
+                meta = pq.ParquetFile(path).metadata
+                partition = {}
+                for name, src, transform, src_type in parts:
+                    raw = tuple_vals.get(name)
+                    if raw is None:
+                        partition[name] = None
+                    elif transform.startswith("bucket["):
+                        partition[name] = int(raw)
+                    elif src_type in ("int", "long"):
+                        partition[name] = int(raw)
+                    else:
+                        partition[name] = raw
+                lower, upper, nulls, values = {}, {}, {}, {}
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        cname = col.path_in_schema
+                        f = schema_fields.get(cname)
+                        if f is None or not isinstance(f["type"], str):
+                            continue
+                        fid = f["id"]
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        lo = serialize_bound(st.min, f["type"])
+                        hi = serialize_bound(st.max, f["type"])
+                        if lo is None:
+                            continue
+                        if fid not in lower or lo < lower[fid]:
+                            lower[fid] = lo
+                        if fid not in upper or hi > upper[fid]:
+                            upper[fid] = hi
+                        nulls[fid] = nulls.get(fid, 0) + (st.null_count or 0)
+                        values[fid] = values.get(fid, 0) + col.num_values
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": None,  # inherited from the manifest
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": path,
+                            "file_format": "PARQUET",
+                            "partition": partition,
+                            "record_count": meta.num_rows,
+                            "file_size_in_bytes": os.path.getsize(path),
+                            "value_counts": _kv(values),
+                            "null_value_counts": _kv(nulls),
+                            "lower_bounds": _kv(lower),
+                            "upper_bounds": _kv(upper),
+                        },
+                    }
+                )
+
+        # manifest avro
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.metadata["last-sequence-number"] + 1
+        partition_avro_fields = [
+            {
+                "name": name,
+                "type": _opt(
+                    "int"
+                    if transform.startswith("bucket[")
+                    else _ICEBERG_TO_AVRO[src_type]
+                ),
+                "field-id": 1000 + i,
+                "default": None,
+            }
+            for i, (name, _src, transform, src_type) in enumerate(parts)
+        ]
+        manifest_path = f"{self.location}/metadata/{write_id}-m0.avro"
+        spec = self._spec()
+        write_ocf(
+            manifest_path,
+            _manifest_entry_schema(partition_avro_fields),
+            entries,
+            metadata={
+                "schema": json.dumps(
+                    {k: v for k, v in self._schema().items()}
+                ),
+                "schema-id": str(self.metadata["current-schema-id"]),
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+
+        # per-field partition summaries for manifest-level pruning
+        summaries = []
+        for i, (name, _src, transform, src_type) in enumerate(parts):
+            vals = [e["data_file"]["partition"][name] for e in entries]
+            non_null = [v for v in vals if v is not None]
+            bound_type = "int" if transform.startswith("bucket[") else src_type
+            summaries.append(
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": False,
+                    "lower_bound": serialize_bound(
+                        min(non_null) if non_null else None, bound_type
+                    ),
+                    "upper_bound": serialize_bound(
+                        max(non_null) if non_null else None, bound_type
+                    ),
+                }
+            )
+
+        new_manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": spec["spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": summaries,
+            "key_metadata": None,
+        }
+
+        # manifest list = previous snapshot's manifests + the new one
+        # (the fast-append shape: existing manifests are carried forward)
+        prev = self.current_snapshot_id()
+        manifests = []
+        if prev is not None:
+            snap = next(
+                s for s in self.metadata["snapshots"] if s["snapshot-id"] == prev
+            )
+            manifests, _ = read_ocf(snap["manifest-list"])
+        manifests = [new_manifest] + manifests
+        mlist_path = (
+            f"{self.location}/metadata/snap-{snapshot_id}-{write_id}.avro"
+        )
+        write_ocf(
+            mlist_path,
+            MANIFEST_LIST_SCHEMA,
+            manifests,
+            metadata={
+                "snapshot-id": str(snapshot_id),
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+
+        now = int(time.time() * 1000)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(entries)),
+                "added-records": str(new_manifest["added_rows_count"]),
+            },
+            "schema-id": self.metadata["current-schema-id"],
+        }
+        if prev is not None:
+            snapshot["parent-snapshot-id"] = prev
+        self.metadata["snapshots"].append(snapshot)
+        self.metadata["snapshot-log"].append(
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        )
+        self.metadata["current-snapshot-id"] = snapshot_id
+        self.metadata["last-sequence-number"] = seq
+        self.metadata["last-updated-ms"] = now
+        self._commit_metadata()
+        return snapshot_id
+
+    # -- scan ----------------------------------------------------------------
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+        bounds_filter: dict | None = None,
+    ) -> tuple[list[dict], dict]:
+        """Plan a scan: returns (live data_file dicts, pruning stats).
+
+        ``partition_filter``: {partition field name: exact value} — prunes
+        manifests via field summaries, then files via partition tuples.
+        ``bounds_filter``: {column: (lo, hi)} — prunes files via the
+        per-column lower/upper bounds recorded at commit time.
+        """
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            return [], {"manifests_total": 0, "manifests_read": 0, "files_total": 0, "files_selected": 0}
+        snap = next(
+            s for s in self.metadata["snapshots"] if s["snapshot-id"] == sid
+        )
+        manifests, _ = read_ocf(snap["manifest-list"])
+        parts = self._partition_columns()
+        part_index = {name: i for i, (name, *_rest) in enumerate(parts)}
+        part_bound_type = {
+            name: ("int" if transform.startswith("bucket[") else src_type)
+            for name, _src, transform, src_type in parts
+        }
+        stats = {
+            "manifests_total": len(manifests),
+            "manifests_read": 0,
+            "files_total": 0,
+            "files_selected": 0,
+        }
+        schema_fields = {f["name"]: f for f in self._schema()["fields"]}
+        selected = []
+        for m in manifests:
+            if partition_filter and m.get("partitions"):
+                skip = False
+                for col, want in partition_filter.items():
+                    idx = part_index.get(col)
+                    if idx is None or idx >= len(m["partitions"]):
+                        continue
+                    s = m["partitions"][idx]
+                    bt = part_bound_type[col]
+                    lo = deserialize_bound(s.get("lower_bound"), bt)
+                    hi = deserialize_bound(s.get("upper_bound"), bt)
+                    if want is None:
+                        if not s["contains_null"]:
+                            skip = True
+                    elif lo is not None and (want < lo or want > hi):
+                        skip = True
+                if skip:
+                    continue
+            stats["manifests_read"] += 1
+            entries, _ = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED
+                    continue
+                stats["files_total"] += 1
+                df_ = e["data_file"]
+                if partition_filter:
+                    if any(
+                        df_["partition"].get(col) != want
+                        for col, want in partition_filter.items()
+                    ):
+                        continue
+                if bounds_filter:
+                    skip = False
+                    for col, (lo_want, hi_want) in bounds_filter.items():
+                        f = schema_fields.get(col)
+                        if f is None:
+                            continue
+                        fid = f["id"]
+                        lo = _kv_get(df_.get("lower_bounds"), fid)
+                        hi = _kv_get(df_.get("upper_bounds"), fid)
+                        if lo is None:
+                            continue
+                        lo = deserialize_bound(lo, f["type"])
+                        hi = deserialize_bound(hi, f["type"])
+                        if hi < lo_want or lo > hi_want:
+                            skip = True
+                            break
+                    if skip:
+                        continue
+                stats["files_selected"] += 1
+                selected.append(df_)
+        return selected, stats
+
+    def scan(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+        bounds_filter: dict | None = None,
+    ) -> DataFrame:
+        """Read the table (optionally time-travelled / pruned) as a DataFrame."""
+        files, _stats = self.plan_files(snapshot_id, partition_filter, bounds_filter)
+        schema = self._schema()
+        col_order = [f["name"] for f in schema["fields"]]
+        spark_schema = _spark_ddl(schema, self._partition_columns())
+        if not files:
+            return spark.createDataFrame([], spark_schema)
+        parts = self._partition_columns()
+        identity = [
+            (name, src) for name, src, transform, _t in parts if transform == "identity"
+        ]
+        hidden = {
+            name for name, _src, transform, _t in parts if not transform == "identity"
+        }
+        # group by partition tuple; identity source columns were projected
+        # out of the data files by the hive layout, so re-attach them as
+        # literals per group (constant-per-file, exactly what a real
+        # Iceberg Spark source does for identity partitions)
+        scalar_types = {
+            fld["name"]: fld["type"]
+            for fld in schema["fields"]
+            if isinstance(fld["type"], str)
+        }
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            key = tuple((k, f["partition"][k]) for k in sorted(f["partition"]))
+            groups.setdefault(key, []).append(f["file_path"])
+        out = None
+        for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+            part = dict(key)
+            df = spark.read.parquet(*paths)
+            for name, src in identity:
+                cast_to = scalar_types.get(src, "string").replace(
+                    "timestamptz", "timestamp"
+                ).replace("long", "bigint")
+                df = df.withColumn(src, F.lit(part[name]).cast(cast_to))
+            df = df.select(*[c for c in col_order if c not in hidden])
+            out = df if out is None else out.unionByName(df)
+        return out
+
+
+class IcebergDocumentSink:
+    """Committed-results sink + resume ledger on a real Iceberg table.
+
+    The checkpoint layer (``ocrs_spark.checkpoint``) implements the
+    snapshot CAS protocol on plain parquet manifests; this class is the
+    same resume contract on the actual Iceberg format: every completed
+    batch of woven documents is one ``append`` snapshot, and a restarted
+    run anti-joins its input against the committed ``doc_id`` ledger, so
+    a kill between snapshots re-processes nothing that committed and a
+    kill mid-commit leaves the previous snapshot live (the metadata CAS
+    never overwrites).
+    """
+
+    def __init__(self, location: str, spark: SparkSession, result_schema):
+        try:
+            self.table = IcebergTable.load(location)
+        except FileNotFoundError:
+            self.table = IcebergTable.create(location, result_schema)
+        self._spark = spark
+
+    def commit_run(self, woven: DataFrame) -> int:
+        """Append one completed batch as a new snapshot; returns its id."""
+        snapshot_id = self.table.append(woven)
+        self.table = IcebergTable.load(self.table.location)
+        return snapshot_id
+
+    def committed(self) -> DataFrame:
+        """All documents committed as of the current snapshot."""
+        return self.table.scan(self._spark)
+
+    def remaining(self, documents: DataFrame) -> DataFrame:
+        """Documents not yet committed (the resume input)."""
+        if self.table.current_snapshot_id() is None:
+            return documents
+        ledger = self.committed().select("doc_id")
+        return documents.join(ledger, "doc_id", "left_anti")
+
+
+def _bucket_column(src: str, src_type: str, n: int):
+    """Vectorized Iceberg bucket[n] as a pandas UDF (murmur3 per spec)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _bucket(s):
+        import pandas as pd
+
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            return bucket_value(v, src_type, n)
+
+        return pd.Series([one(v) for v in s], dtype="Int32")
+
+    return _bucket(F.col(src))
+
+
+def _kv(d: dict) -> list[dict]:
+    """Avro array-of-key/value encoding of Iceberg's int-keyed maps."""
+    return [{"key": k, "value": v} for k, v in sorted(d.items())] or None
+
+
+def _kv_get(kv: list[dict] | None, key: int):
+    if not kv:
+        return None
+    for item in kv:
+        if item["key"] == key:
+            return item["value"]
+    return None
+
+
+def _spark_ddl(schema: dict, parts) -> str:
+    """Spark DDL string for an (empty) scan of this Iceberg schema."""
+
+    def t(x):
+        if isinstance(x, str):
+            return {
+                "long": "bigint",
+                "int": "int",
+                "string": "string",
+                "boolean": "boolean",
+                "double": "double",
+                "float": "float",
+                "binary": "binary",
+                "date": "date",
+                "timestamptz": "timestamp",
+            }[x]
+        if x["type"] == "list":
+            return f"array<{t(x['element'])}>"
+        if x["type"] == "struct":
+            inner = ",".join(f"{f['name']}:{t(f['type'])}" for f in x["fields"])
+            return f"struct<{inner}>"
+        if x["type"] == "map":
+            return f"map<{t(x['key'])},{t(x['value'])}>"
+        raise ValueError(str(x))
+
+    hidden = {name for name, _s, tr, _t in parts if not tr == "identity"}
+    cols = [
+        f"{f['name']} {t(f['type'])}"
+        for f in schema["fields"]
+        if f["name"] not in hidden
+    ]
+    return ", ".join(cols)

@@ -20,6 +20,7 @@ def load_tables(spark, sf_dir: str, *names: str):
 def all_queries():
     from . import (
         dedup,
+        icebergops,
         multimodal,
         pdfmixed,
         relational,
@@ -32,7 +33,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops):
         out.update(mod.QUERIES)
     return out
 
@@ -40,6 +41,7 @@ def all_queries():
 def all_oracles():
     from . import (
         dedup,
+        icebergops,
         multimodal,
         pdfmixed,
         relational,
@@ -52,6 +54,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops):
         out.update(mod.ORACLES)
     return out

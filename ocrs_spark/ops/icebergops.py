@@ -1,0 +1,152 @@
+"""Iceberg-table operators over the documents corpus.
+
+The north-star pipeline runs over *Iceberg* tables of interleaved
+documents, so these rows exercise the from-spec table format in
+``ocrs_spark.iceberg`` end-to-end against the DuckDB oracle reading the
+same rows straight from parquet:
+
+- ``iceberg_snapshot_scan`` — write the corpus into an identity-
+  partitioned (by ``lang``) Iceberg table in TWO append snapshots, then
+  scan the current snapshot: commit protocol, manifest lists, manifest
+  entries, and partition-column reconstruction must all be right for
+  the identity compare to hold.
+- ``iceberg_time_travel_scan`` — scan as of the FIRST snapshot: only
+  the first append's rows may appear.
+- ``iceberg_partition_pruned_scan`` — scan one ``lang`` partition with
+  manifest/file pruning; pytest additionally asserts the pruned file
+  count (the oracle proves values, the plan test proves skipping).
+- ``iceberg_bucket_point_lookup`` — a second table partitioned by
+  ``bucket[8](doc_id)`` (murmur3 per spec appendix B); point-lookups
+  route through bucket pruning + per-file doc_id bounds, so a wrong
+  bucket hash or wrong bounds loses rows and the oracle goes red.
+
+The tables are materialized once per (session, sf_dir) into a temp
+location (cleaned at exit); the timed path is metadata planning + the
+pruned parquet read, not table construction.
+
+Scale design: commits are metadata-only; scans plan on the driver over
+manifest files (bounded, exactly Iceberg's own planning model) and read
+only surviving files through Spark's parquet source. The bucket table
+is the training-pipeline shard pattern: uniform murmur3 buckets bound
+skew regardless of doc_id distribution.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..iceberg import IcebergTable, bucket_value
+
+_TABLES: dict = {}
+_TEMP_DIRS: list[str] = []
+_CLEANUP_REGISTERED = False
+
+LOOKUP_IDS = [7, 42, 123, 404]
+
+
+def _register_cleanup() -> None:
+    global _CLEANUP_REGISTERED
+    if not _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED = True
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _TEMP_DIRS]
+        )
+
+
+def corpus_table(spark, sf_dir: str):
+    """documents -> identity(lang)-partitioned table, two snapshots.
+
+    Returns (table, first_snapshot_id, second_snapshot_id)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "lang")
+    if key not in _TABLES:
+        _register_cleanup()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        loc = tempfile.mkdtemp(prefix="ocrs_icb_")
+        _TEMP_DIRS.append(loc)
+        table = IcebergTable.create(
+            loc, docs.schema, partition_by=[("lang", "identity")]
+        )
+        s1 = table.append(docs.filter(F.col("doc_id") % 2 == 0))
+        s2 = table.append(docs.filter(F.col("doc_id") % 2 == 1))
+        _TABLES[key] = (loc, s1, s2)
+    loc, s1, s2 = _TABLES[key]
+    return IcebergTable.load(loc), s1, s2
+
+
+def bucket_table(spark, sf_dir: str):
+    """documents -> bucket[8](doc_id)-partitioned table, one snapshot."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bucket")
+    if key not in _TABLES:
+        _register_cleanup()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        loc = tempfile.mkdtemp(prefix="ocrs_icb_")
+        _TEMP_DIRS.append(loc)
+        table = IcebergTable.create(
+            loc, docs.schema, partition_by=[("doc_id", "bucket[8]")]
+        )
+        s1 = table.append(docs)
+        _TABLES[key] = (loc, s1, s1)
+    loc, s1, _ = _TABLES[key]
+    return IcebergTable.load(loc), s1
+
+
+_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def iceberg_snapshot_scan(spark, sf_dir: str):
+    table, _s1, _s2 = corpus_table(spark, sf_dir)
+    return table.scan(spark).select(*_COLS)
+
+
+def iceberg_time_travel_scan(spark, sf_dir: str):
+    table, s1, _s2 = corpus_table(spark, sf_dir)
+    return table.scan(spark, snapshot_id=s1).select(*_COLS)
+
+
+def iceberg_partition_pruned_scan(spark, sf_dir: str):
+    table, _s1, _s2 = corpus_table(spark, sf_dir)
+    return table.scan(spark, partition_filter={"lang": "en"}).select(*_COLS)
+
+
+def iceberg_bucket_point_lookup(spark, sf_dir: str):
+    table, _s1 = bucket_table(spark, sf_dir)
+    out = None
+    for doc_id in LOOKUP_IDS:
+        b = bucket_value(doc_id, "long", 8)
+        df = table.scan(
+            spark,
+            partition_filter={"doc_id_bucket": b},
+            bounds_filter={"doc_id": (doc_id, doc_id)},
+        ).filter(F.col("doc_id") == doc_id)
+        out = df if out is None else out.unionByName(df)
+    return out.select(*_COLS)
+
+
+QUERIES = {
+    "iceberg_snapshot_scan": iceberg_snapshot_scan,
+    "iceberg_time_travel_scan": iceberg_time_travel_scan,
+    "iceberg_partition_pruned_scan": iceberg_partition_pruned_scan,
+    "iceberg_bucket_point_lookup": iceberg_bucket_point_lookup,
+}
+
+ORACLES = {
+    "iceberg_snapshot_scan": (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    ),
+    "iceberg_time_travel_scan": (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        "WHERE doc_id % 2 = 0"
+    ),
+    "iceberg_partition_pruned_scan": (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        "WHERE lang = 'en'"
+    ),
+    "iceberg_bucket_point_lookup": (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"WHERE doc_id IN ({', '.join(str(i) for i in LOOKUP_IDS)})"
+    ),
+}

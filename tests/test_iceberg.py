@@ -1,0 +1,247 @@
+"""From-spec Iceberg v2 table tests: commit protocol, time travel,
+partition/bounds pruning, bucket transform (spec appendix B vectors),
+and the resume sink contract the north rule mandates."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrs_spark.iceberg import (
+    IcebergDocumentSink,
+    IcebergTable,
+    bucket_value,
+    murmur3_32,
+    serialize_bound,
+    deserialize_bound,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- pure-python format pieces ------------------------------------------------
+
+
+def test_murmur3_spec_vectors():
+    # Iceberg spec appendix B: hash(34 as long) and hash("iceberg")
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32("iceberg".encode("utf-8")) == 1210000089
+
+
+def test_bucket_transform_spec_semantics():
+    # ints hash as longs, so bucket(34 as int) == bucket(34 as long)
+    assert bucket_value(34, "int", 16) == bucket_value(34, "long", 16)
+    assert bucket_value(34, "long", 16) == 2017239379 % 16
+    assert bucket_value("iceberg", "string", 16) == 1210000089 % 16
+    assert bucket_value(None, "long", 16) is None
+    for v in range(100):
+        assert 0 <= bucket_value(v, "long", 8) < 8
+
+
+def test_bound_serialization_roundtrip():
+    for value, t in [
+        (-(2**40), "long"),
+        (123, "int"),
+        (1.5, "double"),
+        (-0.25, "float"),
+        ("zebra", "string"),
+        (True, "boolean"),
+    ]:
+        assert deserialize_bound(serialize_bound(value, t), t) == value
+    assert serialize_bound(None, "long") is None
+
+
+# -- table lifecycle ----------------------------------------------------------
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _fresh_table(docs, tmp_path, partition_by):
+    loc = str(tmp_path / "tbl")
+    return IcebergTable.create(loc, docs.schema, partition_by=partition_by)
+
+
+def test_append_scan_identity(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    s1 = t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    s2 = t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    assert [s["snapshot-id"] for s in t.snapshots()] == [s1, s2]
+
+    loaded = IcebergTable.load(t.location)
+    full = loaded.scan(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(full[sorted(full.columns)], want[sorted(want.columns)])
+
+
+def test_time_travel_reads_first_snapshot_only(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    s1 = t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    tt = IcebergTable.load(t.location).scan(spark, snapshot_id=s1)
+    got = sorted(r.doc_id for r in tt.select("doc_id").collect())
+    want = sorted(
+        r.doc_id for r in docs.filter(F.col("doc_id") % 2 == 0).select("doc_id").collect()
+    )
+    assert got == want
+
+
+def test_partition_pruning_skips_files(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    loaded = IcebergTable.load(t.location)
+    n_langs = docs.select("lang").distinct().count()
+    files, stats = loaded.plan_files(partition_filter={"lang": "en"})
+    assert stats["files_total"] == 2 * n_langs  # one file per (lang, append)
+    assert stats["files_selected"] == 2  # only the two lang=en files
+    got = loaded.scan(spark, partition_filter={"lang": "en"})
+    assert got.count() == docs.filter("lang = 'en'").count()
+    assert got.filter("lang <> 'en'").count() == 0
+
+
+def test_bounds_pruning_uses_footer_stats(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, None)
+    # two appends with disjoint doc_id ranges -> disjoint file bounds
+    t.append(docs.filter("doc_id < 100"))
+    t.append(docs.filter("doc_id >= 100"))
+    loaded = IcebergTable.load(t.location)
+    files, stats = loaded.plan_files(bounds_filter={"doc_id": (0, 50)})
+    assert stats["files_selected"] < stats["files_total"]
+    df = loaded.scan(spark, bounds_filter={"doc_id": (0, 50)})
+    # bounds pruning is file-granular: every doc_id <= 50 must survive
+    assert df.filter("doc_id <= 50").count() == docs.filter("doc_id <= 50").count()
+
+
+def test_bucket_partition_point_lookup(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("doc_id", "bucket[8]")])
+    t.append(docs)
+    loaded = IcebergTable.load(t.location)
+    _, all_stats = loaded.plan_files()
+    b = bucket_value(42, "long", 8)
+    files, stats = loaded.plan_files(partition_filter={"doc_id_bucket": b})
+    assert 0 < stats["files_selected"] < all_stats["files_total"]
+    row = (
+        loaded.scan(spark, partition_filter={"doc_id_bucket": b})
+        .filter("doc_id = 42")
+        .collect()
+    )
+    assert len(row) == 1
+    want = docs.filter("doc_id = 42").collect()[0]
+    assert row[0].text == want.text and row[0].lang == want.lang
+
+
+def test_null_partition_values(spark, docs, tmp_path):
+    with_nulls = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang"))
+    )
+    t = _fresh_table(with_nulls, tmp_path, [("lang", "identity")])
+    t.append(with_nulls)
+    loaded = IcebergTable.load(t.location)
+    out = loaded.scan(spark)
+    assert out.count() == with_nulls.count()
+    assert out.filter("lang IS NULL").count() == with_nulls.filter("lang IS NULL").count()
+    # null partition routes through the manifest's contains_null summary
+    _, stats = loaded.plan_files(partition_filter={"lang": None})
+    assert stats["files_selected"] >= 1
+
+
+# -- commit protocol ----------------------------------------------------------
+
+
+def test_commit_cas_survives_version_race(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, None)
+    t.append(docs.limit(10))
+    # another committer publishes the next version first
+    meta_dir = f"{t.location}/metadata"
+    current = t.version
+    squatter = f"{meta_dir}/v{current + 1}.metadata.json"
+    with open(f"{meta_dir}/v{current}.metadata.json") as f:
+        squatted = f.read()
+    with open(squatter, "w") as f:
+        f.write(squatted)
+    t.append(docs.limit(20))  # must skip the squatted version, not clobber it
+    assert t.version == current + 2
+    assert open(squatter).read() == squatted
+    assert IcebergTable.load(t.location).version == current + 2
+
+
+def test_stale_version_hint_falls_back_to_listing(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, None)
+    t.append(docs.limit(10))
+    with open(f"{t.location}/metadata/version-hint.text", "w") as f:
+        f.write("99")  # crashed committer left a bogus hint
+    loaded = IcebergTable.load(t.location)
+    assert loaded.version == t.version
+    assert loaded.scan(spark).count() == 10
+
+
+def test_metadata_json_is_spec_shaped(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    t.append(docs.limit(10))
+    with open(f"{t.location}/metadata/v{t.version}.metadata.json") as f:
+        meta = json.load(f)
+    assert meta["format-version"] == 2
+    assert meta["current-schema-id"] == 0
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "append"
+    assert os.path.exists(snap["manifest-list"])
+    spec = meta["partition-specs"][0]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["field-id"] == 1000
+    schema_ids = [fld["id"] for fld in meta["schemas"][0]["fields"]]
+    assert schema_ids == sorted(set(schema_ids))
+
+
+def test_jvm_avro_reads_manifests(spark, docs, tmp_path):
+    """The Java Avro library parses both metadata Avro file kinds."""
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    t.append(docs.limit(50))
+    snap = t.snapshots()[-1]
+    jvm = spark._jvm
+
+    def jvm_read(path):
+        rd = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), rd)
+        out = []
+        while dfr.hasNext():
+            out.append(dfr.next())
+        dfr.close()
+        return out
+
+    mlist = jvm_read(snap["manifest-list"])
+    assert len(mlist) == 1
+    manifest_path = str(mlist[0].get("manifest_path").toString())
+    entries = jvm_read(manifest_path)
+    assert entries and all(e.get("status") == 1 for e in entries)
+    total = sum(e.get("data_file").get("record_count") for e in entries)
+    assert total == 50
+
+
+# -- resume sink --------------------------------------------------------------
+
+
+def test_document_sink_resume_contract(spark, docs, tmp_path):
+    loc = str(tmp_path / "sink")
+    sink = IcebergDocumentSink(loc, spark, docs.schema)
+    assert sink.remaining(docs).count() == docs.count()  # empty table: all todo
+
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    sink.commit_run(first)
+    remaining = sink.remaining(docs)
+    assert remaining.count() == docs.count() - first.count()
+    assert remaining.filter(F.col("doc_id") % 2 == 0).count() == 0
+
+    sink.commit_run(remaining)
+    assert sink.remaining(docs).count() == 0
+    assert sink.committed().count() == docs.count()
+    # a reopened sink (restarted run) sees the same ledger
+    reopened = IcebergDocumentSink(loc, spark, docs.schema)
+    assert reopened.remaining(docs).count() == 0
