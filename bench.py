@@ -75,6 +75,8 @@ HEADLINE = [
     "pdf_layout_extraction",
     "pdf_mixed_extraction",
     "warc_main_content",
+    "link_graph_edges",
+    "pagerank_links",
     "iceberg_snapshot_scan",
     "iceberg_time_travel_scan",
     "iceberg_partition_pruned_scan",

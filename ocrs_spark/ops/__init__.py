@@ -21,6 +21,7 @@ def all_queries():
     from . import (
         dedup,
         icebergops,
+        linkgraph,
         multimodal,
         pdfmixed,
         relational,
@@ -33,7 +34,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph):
         out.update(mod.QUERIES)
     return out
 
@@ -42,6 +43,7 @@ def all_oracles():
     from . import (
         dedup,
         icebergops,
+        linkgraph,
         multimodal,
         pdfmixed,
         relational,
@@ -54,6 +56,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph):
         out.update(mod.ORACLES)
     return out

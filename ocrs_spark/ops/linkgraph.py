@@ -1,0 +1,193 @@
+"""Link-graph extraction + distributed PageRank over the web corpus.
+
+A web-scale extraction pipeline doesn't stop at main content: the link
+graph drives crawl scheduling, spam scoring, and quality priors for
+training-data curation. Two operators:
+
+- ``link_graph_edges`` — parse outlinks from each document's HTML.
+  The corpus plants exactly two ``<a href="/doc/<id>">`` anchors per
+  page with arithmetically-defined targets, surrounded by distractor
+  links (external hosts, non-doc paths, a nav block) that must NOT
+  become edges. The oracle recomputes the targets from the formula —
+  the Spark side must actually find-and-filter the anchors in the
+  markup to agree.
+- ``pagerank_links`` — 5 PageRank iterations over the EXTRACTED edges
+  (damping 7/8, init rank 1.0, out-degree exactly 2 by construction).
+  Every quantity is a dyadic rational (denominators are powers of two),
+  so IEEE-double arithmetic is EXACT on both engines regardless of
+  fold order, and the oracle — the same five iterations unrolled as
+  chained CTEs in DuckDB — matches bit-for-bit with no rounding. This
+  is the honest way to oracle an iterative numeric algorithm: make the
+  arithmetic exact instead of hoping two engines round alike.
+
+Scale design: extraction is one Arrow-free expression stage
+(``regexp_extract_all`` + explode, whole-stage codegen); the edge list
+is materialized once and re-read per iteration (at 100 TB: a bucketed
+table partitioned by ``src``, so the contribution join co-locates);
+each iteration is one shuffle (groupBy dst) + one broadcast-or-sorted
+join against the node list — the classic Pregel-on-DataFrames shape.
+Ranks stay (node, double) — O(N) rows, never collected.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+DAMPING = 0.875  # 7/8: exact in binary, so iteration arithmetic stays exact
+TELEPORT = 0.125  # 1 - DAMPING
+ITERATIONS = 5
+OUT_DEGREE = 2
+
+HTML_SCHEMA = "doc_id bigint, html string"
+_A, _B = (7, 13), (31, 17)  # target formulas: (doc_id*a + b) % N
+
+
+def _targets(doc_id: int, n: int) -> tuple[int, int]:
+    return (doc_id * _A[0] + _A[1]) % n, (doc_id * _B[0] + _B[1]) % n
+
+
+def _linked_html(doc_id: int, text: str, n: int) -> str:
+    """A page whose only /doc/ anchors are the two planted outlinks;
+    everything else is distractor markup the extractor must ignore."""
+    t1, t2 = _targets(doc_id, n)
+    return (
+        f"<html><head><title>Doc {doc_id}</title>"
+        '<link rel="stylesheet" href="/static/site.css"></head><body>'
+        '<nav><a href="/">home</a> <a href="/about">about</a> '
+        '<a href="https://example.com/doc/999">external</a></nav>'
+        f"<main><p>{text}</p>"
+        f'<p>See <a href="/doc/{t1}">related</a> and '
+        f'<a href="/doc/{t2}" class="more">more</a>.</p></main>'
+        '<footer><a href="/terms">terms</a> '
+        "<!-- <a href=\"/doc/0\">commented out, still markup</a> --></footer>"
+        "</body></html>"
+    )
+
+
+def _linked_corpus(spark, sf_dir: str):
+    """(doc_id, html) with planted outlinks, landed once per session."""
+    from ..matcache import materialize_once
+
+    def build():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+
+        def synth(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "html": [
+                            _linked_html(int(d), t, n)
+                            for d, t in zip(pdf["doc_id"], pdf["text"])
+                        ],
+                    }
+                )
+
+        return (
+            docs.select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(synth, schema=HTML_SCHEMA)
+        )
+
+    return materialize_once(spark, sf_dir, "linked_html_docs", build)
+
+
+def _edges(spark, sf_dir: str):
+    """Extract (src, dst) from the HTML and land the edge list once —
+    the iteration loop re-reads a compact edge file instead of
+    re-parsing markup five times."""
+    from ..matcache import materialize_once
+
+    def build():
+        pages = _linked_corpus(spark, sf_dir)
+        # comments are not links: strip them before anchor extraction,
+        # then keep only same-site /doc/<id> hrefs
+        hrefs = F.expr(
+            r"""regexp_extract_all(
+                    regexp_replace(html, '(?s)<!--.*?-->', ' '),
+                    '<a[^>]*href="/doc/(\\d+)"', 1)"""
+        )
+        return (
+            pages.select(
+                F.col("doc_id").alias("src"),
+                F.explode(hrefs).alias("dst_str"),
+            )
+            .select("src", F.col("dst_str").cast("bigint").alias("dst"))
+        )
+
+    return materialize_once(spark, sf_dir, "link_graph_edges", build)
+
+
+def link_graph_edges(spark, sf_dir: str):
+    return _edges(spark, sf_dir).select("src", "dst")
+
+
+def pagerank_links(spark, sf_dir: str):
+    edges = _edges(spark, sf_dir)
+    nodes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("node"))
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(ITERATIONS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / OUT_DEGREE).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(TELEPORT)
+                + F.lit(DAMPING) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
+    )
+
+
+def _oracle_edges_sql() -> str:
+    n = "(SELECT COUNT(*) FROM documents)"
+    return (
+        f"SELECT doc_id AS src, (doc_id*{_A[0]} + {_A[1]}) % {n} AS dst FROM documents "
+        f"UNION ALL "
+        f"SELECT doc_id AS src, (doc_id*{_B[0]} + {_B[1]}) % {n} AS dst FROM documents"
+    )
+
+
+def _oracle_pagerank_sql() -> str:
+    """The same 5 exact-arithmetic iterations, unrolled as CTEs."""
+    parts = [
+        f"WITH edges AS ({_oracle_edges_sql()}), ",
+        "nodes AS (SELECT doc_id AS node FROM documents), ",
+        "r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)",
+    ]
+    for i in range(ITERATIONS):
+        parts.append(
+            f", r{i + 1} AS (SELECT nd.node, "
+            f"{TELEPORT} + {DAMPING} * COALESCE(SUM(r.rank / {OUT_DEGREE}), 0) AS rank "
+            f"FROM nodes nd LEFT JOIN edges e ON e.dst = nd.node "
+            f"LEFT JOIN r{i} r ON r.node = e.src GROUP BY nd.node)"
+        )
+    parts.append(
+        f" SELECT node AS doc_id, rank AS pagerank FROM r{ITERATIONS}"
+    )
+    return "".join(parts)
+
+
+QUERIES = {
+    "link_graph_edges": link_graph_edges,
+    "pagerank_links": pagerank_links,
+}
+
+ORACLES = {
+    "link_graph_edges": _oracle_edges_sql(),
+    "pagerank_links": _oracle_pagerank_sql(),
+}

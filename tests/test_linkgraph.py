@@ -1,0 +1,69 @@
+"""Link-graph extraction + PageRank semantics (oracle parity is covered
+by tests/test_oracles.py; these pin the properties the oracle can't
+see: distractor filtering, exact mass conservation, determinism)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrs_spark.ops.linkgraph import (
+    ITERATIONS,
+    _linked_html,
+    _targets,
+    link_graph_edges,
+    pagerank_links,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_planted_page_contains_only_two_doc_anchors():
+    html = _linked_html(11, "hello world", 500)
+    t1, t2 = _targets(11, 500)
+    assert f'href="/doc/{t1}"' in html and f'href="/doc/{t2}"' in html
+    # distractors present: external /doc/ URL and a commented-out anchor
+    assert "example.com/doc/999" in html and "<!--" in html
+
+
+def test_edges_filter_distractors_and_have_out_degree_two(spark):
+    edges = link_graph_edges(spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert edges.count() == 2 * n_docs
+    degrees = edges.groupBy("src").count()
+    assert degrees.filter("count <> 2").count() == 0
+    # the external host's target 999 is only an edge if some formula
+    # target equals 999; the commented-out /doc/0 must never add a
+    # third edge for any src
+    by_src = edges.groupBy("src").agg(F.collect_set("dst").alias("dsts"))
+    row = by_src.filter("src = 3").collect()[0]
+    assert set(row.dsts) == set(_targets(3, n_docs))
+
+
+def test_pagerank_conserves_mass_exactly(spark):
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    ranks = pagerank_links(spark, SF)
+    total = ranks.agg(F.sum("pagerank").alias("s")).collect()[0].s
+    # out-degree 2 everywhere + damping 7/8 keeps every quantity a
+    # dyadic rational, so the invariant sum(rank) == N holds EXACTLY
+    # in IEEE doubles, not approximately
+    assert total == float(n_docs)
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    a = {r.doc_id: r.pagerank for r in pagerank_links(spark, SF).collect()}
+    b = {r.doc_id: r.pagerank for r in pagerank_links(spark, SF).collect()}
+    assert a == b
+    assert len(a) == 500
+    assert all(v >= 0.125 for v in a.values())  # teleport floor
+
+
+def test_pagerank_favors_in_degree(spark):
+    edges = link_graph_edges(spark, SF)
+    indeg = {r.dst: r["count"] for r in edges.groupBy("dst").count().collect()}
+    ranks = {r.doc_id: r.pagerank for r in pagerank_links(spark, SF).collect()}
+    zero_in = [d for d in ranks if d not in indeg]
+    if zero_in:
+        hot = max(indeg, key=indeg.get)
+        assert ranks[hot] > max(ranks[d] for d in zero_in)
+    assert ITERATIONS == 5  # the oracle SQL is unrolled for exactly this
