@@ -746,6 +746,267 @@ class IcebergTable:
         self._commit_metadata()
         return snapshot_id
 
+    # -- maintenance ----------------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_files_per_partition: int = 1) -> int:
+        """Rewrite the current snapshot's data into fewer files per
+        partition and commit it as a ``replace`` snapshot.
+
+        Small-file compaction is the table-maintenance job every
+        long-running ingest needs: streaming/resumed appends accrete
+        many small parquet files, and scan cost is dominated by file
+        count. The rewrite reads only live files and the commit swaps
+        the manifest list — previous snapshots (and their files) stay
+        readable for time travel until ``expire_snapshots``.
+        """
+        live = self.scan(spark)
+        parts = self._partition_columns()
+        if parts:
+            # coalesce within partitions: repartition on the partition
+            # values so each tuple lands in few tasks
+            live = live.repartition(
+                max(target_files_per_partition, 1),
+                *[F.col(src) for _n, src, _t, _st in parts],
+            )
+        else:
+            live = live.coalesce(max(target_files_per_partition, 1))
+        return self._replace_with(live, operation="replace")
+
+    def delete_partition(self, partition_filter: dict) -> int:
+        """Drop every file matching ``partition_filter`` (a metadata-only
+        delete: matching files become status-2 DELETED entries, kept
+        rows are carried forward as status-0 EXISTING). File-granular,
+        like Iceberg's own partition-predicate DELETE fast path."""
+        keep, stats = self.plan_files()
+        dropped = []
+        kept = []
+        for f in keep:
+            if all(
+                f["partition"].get(col) == want
+                for col, want in partition_filter.items()
+            ):
+                dropped.append(f)
+            else:
+                kept.append(f)
+        return self._commit_file_set(
+            kept, dropped, operation="delete"
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the last ``keep_last`` snapshots and physically
+        delete files only they referenced (manifest lists, manifests,
+        data files). Returns {snapshots_removed, files_deleted}."""
+        snaps = self.metadata["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"snapshots_removed": 0, "files_deleted": 0}
+        keep = snaps[-keep_last:]
+        drop = snaps[:-keep_last]
+
+        def reachable(snapshots):
+            paths = set()
+            for s in snapshots:
+                paths.add(s["manifest-list"])
+                manifests, _ = read_ocf(s["manifest-list"])
+                for m in manifests:
+                    paths.add(m["manifest_path"])
+                    entries, _ = read_ocf(m["manifest_path"])
+                    for e in entries:
+                        paths.add(e["data_file"]["file_path"])
+            return paths
+
+        live = reachable(keep)
+        dead = reachable(drop) - live
+        for path in sorted(dead):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        keep_ids = {s["snapshot-id"] for s in keep}
+        self.metadata["snapshots"] = keep
+        self.metadata["snapshot-log"] = [
+            e for e in self.metadata["snapshot-log"] if e["snapshot-id"] in keep_ids
+        ]
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata()
+        return {"snapshots_removed": len(drop), "files_deleted": len(dead)}
+
+    def add_column(self, name: str, spark_type_ddl: str) -> None:
+        """Schema evolution: add an optional column (new schema-id).
+
+        Existing data files simply lack the field; scans reconcile by
+        filling nulls (Iceberg's read-time default for added optional
+        columns). Appends after the change must include the column.
+        """
+        from pyspark.sql.types import StructType
+
+        old = self._schema()
+        if any(f["name"] == name for f in old["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        tmp = StructType.fromDDL(f"{name} {spark_type_ddl}")
+        converted = schema_from_spark(tmp)
+        base = self.metadata["last-column-id"]
+        # re-id the new subtree above the current last-column-id
+        def shift(node):
+            if isinstance(node, dict):
+                for key in ("id", "element-id", "key-id", "value-id"):
+                    if key in node:
+                        node[key] += base
+                for sub in node.get("fields", []):
+                    shift(sub)
+                for key in ("type", "element", "key", "value"):
+                    if isinstance(node.get(key), dict):
+                        shift(node[key])
+
+        new_last = base + converted.pop("_last_column_id")
+        new_field = converted["fields"][0]
+        shift(new_field)
+        new_field["required"] = False
+        new_schema = {
+            "type": "struct",
+            "schema-id": old["schema-id"] + 1,
+            "fields": [dict(f) for f in old["fields"]] + [new_field],
+        }
+        self.metadata["schemas"].append(new_schema)
+        self.metadata["current-schema-id"] = new_schema["schema-id"]
+        self.metadata["last-column-id"] = new_last
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata()
+
+    def _replace_with(self, df: DataFrame, operation: str) -> int:
+        """Write ``df`` as a fresh file set and commit a snapshot whose
+        manifest list contains ONLY the new manifest (plus DELETED
+        entries for the old files, so the manifest records the swap)."""
+        old_files, _ = self.plan_files()
+        snapshot_id = self.append(df)
+        # append() carried the old manifests forward; rewrite the new
+        # snapshot's manifest list to drop them and record the deletes
+        snap = self.metadata["snapshots"][-1]
+        assert snap["snapshot-id"] == snapshot_id
+        manifests, _ = read_ocf(snap["manifest-list"])
+        write_ocf(
+            snap["manifest-list"],
+            MANIFEST_LIST_SCHEMA,
+            manifests[:1],  # append() prepends the new manifest
+            metadata={
+                "snapshot-id": str(snapshot_id),
+                "sequence-number": str(snap["sequence-number"]),
+                "format-version": "2",
+            },
+        )
+        snap["summary"]["operation"] = operation
+        snap["summary"]["deleted-data-files"] = str(len(old_files))
+        self._commit_metadata()
+        return snapshot_id
+
+    def _commit_file_set(
+        self, kept: list[dict], dropped: list[dict], operation: str
+    ) -> int:
+        """Commit a snapshot from explicit keep/drop file lists."""
+        parts = self._partition_columns()
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.metadata["last-sequence-number"] + 1
+        write_id = _uuid.uuid4().hex
+        partition_avro_fields = [
+            {
+                "name": name,
+                "type": _opt(
+                    "int"
+                    if transform.startswith("bucket[")
+                    else _ICEBERG_TO_AVRO[src_type]
+                ),
+                "field-id": 1000 + i,
+                "default": None,
+            }
+            for i, (name, _src, transform, src_type) in enumerate(parts)
+        ]
+        entries = [
+            {
+                "status": 0,  # EXISTING
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": f,
+            }
+            for f in kept
+        ] + [
+            {
+                "status": 2,  # DELETED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": f,
+            }
+            for f in dropped
+        ]
+        manifest_path = f"{self.location}/metadata/{write_id}-m0.avro"
+        spec = self._spec()
+        write_ocf(
+            manifest_path,
+            _manifest_entry_schema(partition_avro_fields),
+            entries,
+            metadata={
+                "schema": json.dumps(self._schema()),
+                "schema-id": str(self.metadata["current-schema-id"]),
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        mlist_path = f"{self.location}/metadata/snap-{snapshot_id}-{write_id}.avro"
+        write_ocf(
+            mlist_path,
+            MANIFEST_LIST_SCHEMA,
+            [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": spec["spec-id"],
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": 0,
+                    "existing_files_count": len(kept),
+                    "deleted_files_count": len(dropped),
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(f["record_count"] for f in kept),
+                    "deleted_rows_count": sum(f["record_count"] for f in dropped),
+                    "partitions": None,
+                    "key_metadata": None,
+                }
+            ],
+            metadata={
+                "snapshot-id": str(snapshot_id),
+                "sequence-number": str(seq),
+                "format-version": "2",
+            },
+        )
+        now = int(time.time() * 1000)
+        prev = self.current_snapshot_id()
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": operation,
+                "deleted-data-files": str(len(dropped)),
+            },
+            "schema-id": self.metadata["current-schema-id"],
+        }
+        if prev is not None:
+            snapshot["parent-snapshot-id"] = prev
+        self.metadata["snapshots"].append(snapshot)
+        self.metadata["snapshot-log"].append(
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        )
+        self.metadata["current-snapshot-id"] = snapshot_id
+        self.metadata["last-sequence-number"] = seq
+        self.metadata["last-updated-ms"] = now
+        self._commit_metadata()
+        return snapshot_id
+
     # -- scan ----------------------------------------------------------------
 
     def plan_files(
@@ -872,12 +1133,24 @@ class IcebergTable:
         out = None
         for key, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
             part = dict(key)
-            df = spark.read.parquet(*paths)
+            # mergeSchema: a group may mix files written under different
+            # schema versions (add_column evolution); without it Spark
+            # takes one arbitrary footer's schema and silently drops the
+            # added column from newer files
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
             for name, src in identity:
                 cast_to = scalar_types.get(src, "string").replace(
                     "timestamptz", "timestamp"
                 ).replace("long", "bigint")
                 df = df.withColumn(src, F.lit(part[name]).cast(cast_to))
+            for fld in schema["fields"]:
+                # schema evolution: files written before an add_column
+                # lack the field — fill the optional column with nulls
+                # (Iceberg's read-time default)
+                if fld["name"] not in df.columns:
+                    df = df.withColumn(
+                        fld["name"], F.lit(None).cast(_type_ddl(fld["type"]))
+                    )
             df = df.select(*[c for c in col_order if c not in hidden])
             out = df if out is None else out.unionByName(df)
         return out
@@ -953,34 +1226,35 @@ def _kv_get(kv: list[dict] | None, key: int):
     return None
 
 
+def _type_ddl(x) -> str:
+    """Spark DDL for an Iceberg type."""
+    if isinstance(x, str):
+        return {
+            "long": "bigint",
+            "int": "int",
+            "string": "string",
+            "boolean": "boolean",
+            "double": "double",
+            "float": "float",
+            "binary": "binary",
+            "date": "date",
+            "timestamptz": "timestamp",
+        }[x]
+    if x["type"] == "list":
+        return f"array<{_type_ddl(x['element'])}>"
+    if x["type"] == "struct":
+        inner = ",".join(f"{f['name']}:{_type_ddl(f['type'])}" for f in x["fields"])
+        return f"struct<{inner}>"
+    if x["type"] == "map":
+        return f"map<{_type_ddl(x['key'])},{_type_ddl(x['value'])}>"
+    raise ValueError(str(x))
+
+
 def _spark_ddl(schema: dict, parts) -> str:
     """Spark DDL string for an (empty) scan of this Iceberg schema."""
-
-    def t(x):
-        if isinstance(x, str):
-            return {
-                "long": "bigint",
-                "int": "int",
-                "string": "string",
-                "boolean": "boolean",
-                "double": "double",
-                "float": "float",
-                "binary": "binary",
-                "date": "date",
-                "timestamptz": "timestamp",
-            }[x]
-        if x["type"] == "list":
-            return f"array<{t(x['element'])}>"
-        if x["type"] == "struct":
-            inner = ",".join(f"{f['name']}:{t(f['type'])}" for f in x["fields"])
-            return f"struct<{inner}>"
-        if x["type"] == "map":
-            return f"map<{t(x['key'])},{t(x['value'])}>"
-        raise ValueError(str(x))
-
     hidden = {name for name, _s, tr, _t in parts if not tr == "identity"}
     cols = [
-        f"{f['name']} {t(f['type'])}"
+        f"{f['name']} {_type_ddl(f['type'])}"
         for f in schema["fields"]
         if f["name"] not in hidden
     ]

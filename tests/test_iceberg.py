@@ -245,3 +245,74 @@ def test_document_sink_resume_contract(spark, docs, tmp_path):
     # a reopened sink (restarted run) sees the same ledger
     reopened = IcebergDocumentSink(loc, spark, docs.schema)
     assert reopened.remaining(docs).count() == 0
+
+
+# -- maintenance ---------------------------------------------------------------
+
+
+def test_compact_reduces_files_and_preserves_history(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    pre_ids = []
+    for i in range(4):  # many small appends -> many small files
+        pre_ids.append(t.append(docs.filter(F.col("doc_id") % 4 == i)))
+    _, before = t.plan_files()
+    t.compact(spark)
+    loaded = IcebergTable.load(t.location)
+    _, after = loaded.plan_files()
+    assert after["files_selected"] < before["files_selected"]
+    assert loaded.scan(spark).count() == docs.count()
+    assert loaded.snapshots()[-1]["summary"]["operation"] == "replace"
+    # time travel to a pre-compaction snapshot still works
+    tt = loaded.scan(spark, snapshot_id=pre_ids[1])
+    assert tt.count() == docs.filter("doc_id % 4 IN (0, 1)").count()
+
+
+def test_delete_partition_is_metadata_only(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    s1 = t.append(docs)
+    files_before, _ = t.plan_files()
+    t.delete_partition({"lang": "en"})
+    loaded = IcebergTable.load(t.location)
+    out = loaded.scan(spark)
+    assert out.filter("lang = 'en'").count() == 0
+    assert out.count() == docs.filter("lang <> 'en'").count()
+    assert loaded.snapshots()[-1]["summary"]["operation"] == "delete"
+    # metadata-only: the dropped files still exist on disk (time travel)
+    for f in files_before:
+        assert os.path.exists(f["file_path"])
+    assert loaded.scan(spark, snapshot_id=s1).count() == docs.count()
+
+
+def test_expire_snapshots_removes_orphans(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    t.append(docs)
+    old_files = [f["file_path"] for f, in zip(t.plan_files()[0])]
+    t.compact(spark)
+    assert all(os.path.exists(p) for p in old_files)  # history retained
+    result = t.expire_snapshots(keep_last=1)
+    assert result["snapshots_removed"] == 1
+    assert result["files_deleted"] > 0
+    assert not any(os.path.exists(p) for p in old_files)  # orphans gone
+    loaded = IcebergTable.load(t.location)
+    assert len(loaded.snapshots()) == 1
+    assert loaded.scan(spark).count() == docs.count()  # current unaffected
+
+
+def test_add_column_schema_evolution(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    t.append(docs)
+    t.add_column("quality", "double")
+    loaded = IcebergTable.load(t.location)
+    assert loaded.metadata["current-schema-id"] == 1
+    enriched = docs.withColumn("quality", F.col("doc_id") / 1000.0)
+    doc2 = enriched.withColumn("doc_id", F.col("doc_id") + 10000)
+    loaded.append(doc2)
+    out = IcebergTable.load(t.location).scan(spark)
+    assert out.count() == 2 * docs.count()
+    # old files read the added optional column as null
+    assert out.filter("quality IS NULL").count() == docs.count()
+    assert out.filter("quality IS NOT NULL AND doc_id < 10000").count() == 0
+    got = out.filter("doc_id = 10003").collect()[0]
+    assert got.quality == 3 / 1000.0
+    with pytest.raises(ValueError, match="already exists"):
+        IcebergTable.load(t.location).add_column("quality", "double")
