@@ -78,19 +78,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extraction_metrics_run"] = extraction_metrics_run
     # Tier 2 — the north-rule extraction surface beyond OCR: HTML
     # boilerplate strip (expression-level AND DOM-heuristic legs), PDF
-    # parse (linear and positional/layout), passage-level dedup — then
-    # streaming + LLM-data-pipeline operators (dedup, ANN, text
-    # analysis, multimodal, skew), the orchestration analogues, the
-    # from-spec Iceberg table scan the north rule mandates, and the
-    # TPC-H shapes. The 50-row cap displaces the six redundant TPC-H
-    # tail shapes (q6/q12/q14/q16/q17/q20 — single-table and
-    # join+conditional-agg variants whose plan families
-    # q1/q4/q19/q21/q13 keep covered) to pytest-only: extraction rows
-    # are the graft's core and belong in the hard signal.
+    # parse (linear, positional/layout, and mixed text+embedded-image
+    # OCR), WARC crawl-archive ingest, passage-level dedup, link-graph
+    # PageRank — then streaming + LLM-data-pipeline operators (dedup,
+    # ANN, text analysis, multimodal, skew), the orchestration
+    # analogues, the from-spec Iceberg scans the north rule mandates
+    # (current snapshot + time travel, the resume evidence), and the
+    # TPC-H shapes. The 50-row cap displaces the redundant TPC-H tail
+    # (q6/q12/q14/q16/q17/q20 and, this round, q9/q10/q15/q22 — join
+    # +agg / anti-join / view-max variants whose plan families
+    # q1/q3/q4/q5/q7/q8/q19/q21/q13 + antijoin_* + window_topk keep
+    # covered) to pytest-only: extraction rows are the graft's core
+    # and belong in the hard signal.
     tier2 = [
-        "iceberg_snapshot_scan",
+        "iceberg_snapshot_scan", "iceberg_time_travel_scan",
         "html_main_content", "dom_main_content", "pdf_text_extraction",
-        "pdf_layout_extraction", "repeated_passage_spans",
+        "pdf_layout_extraction", "pdf_mixed_extraction",
+        "repeated_passage_spans", "warc_main_content", "pagerank_links",
         "stream_tumbling_agg", "stream_sessionize_closed",
         "dedup_exact", "ngram_jaccard_pairs",
         "doc_signatures", "embedding_cosine_pairs", "ann_topk_bruteforce",
@@ -100,12 +104,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_token_counts", "reweave_roundtrip", "events_sessionize",
         "events_metrics_agg",
         "window_topk_orders_per_customer", "antijoin_customers_without_orders",
-        "q8_market_share", "q9_product_profit", "q11_important_stock",
-        "q15_top_supplier", "q21_waiting_suppliers",
+        "q8_market_share", "q11_important_stock",
+        "q21_waiting_suppliers",
         "q1_pricing_summary", "q2_best_supplier", "q3_shipping_priority",
         "q5_local_supplier_volume", "q7_volume_shipping",
-        "q18_large_volume_customer", "q10_returned_items",
-        "q19_discounted_revenue", "q22_idle_balances", "q4_order_priority",
+        "q18_large_volume_customer",
+        "q19_discounted_revenue", "q4_order_priority",
         "q13_customer_distribution",
     ]
     for name in tier2:
