@@ -340,6 +340,12 @@ def _manifest_entry_schema(partition_avro_fields: list) -> dict:
             _field("null_value_counts", int_long_map(121, 122), 110, required=False),
             _field("lower_bounds", int_bytes_map(126, 127), 125, required=False),
             _field("upper_bounds", int_bytes_map(129, 130), 128, required=False),
+            _field(
+                "equality_ids",
+                {"type": "array", "items": "int", "element-id": 136},
+                135,
+                required=False,
+            ),
         ],
     }
     return {
@@ -530,6 +536,24 @@ class IcebergTable:
         parquet-footer read per new file, exactly the stats a real Iceberg
         writer's tasks report back to its driver.
         """
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.metadata["last-sequence-number"] + 1
+        manifest = self._write_data_manifest(df, snapshot_id, seq)
+        return self._commit_manifests(
+            [manifest],
+            operation="append",
+            summary={
+                "added-data-files": str(manifest["added_files_count"]),
+                "added-records": str(manifest["added_rows_count"]),
+            },
+            snapshot_id=snapshot_id,
+            seq=seq,
+            carry="all",
+        )
+
+    def _write_data_manifest(self, df: DataFrame, snapshot_id: int, seq: int) -> dict:
+        """Write ``df`` as parquet data files plus one data manifest;
+        returns the manifest-list entry dict (not yet committed)."""
         import pyarrow.parquet as pq
 
         parts = self._partition_columns()
@@ -622,13 +646,12 @@ class IcebergTable:
                             "null_value_counts": _kv(nulls),
                             "lower_bounds": _kv(lower),
                             "upper_bounds": _kv(upper),
+                            "equality_ids": None,
                         },
                     }
                 )
 
         # manifest avro
-        snapshot_id = int.from_bytes(os.urandom(7), "big")
-        seq = self.metadata["last-sequence-number"] + 1
         partition_avro_fields = [
             {
                 "name": name,
@@ -679,7 +702,7 @@ class IcebergTable:
                 }
             )
 
-        new_manifest = {
+        return {
             "manifest_path": manifest_path,
             "manifest_length": os.path.getsize(manifest_path),
             "partition_spec_id": spec["spec-id"],
@@ -697,18 +720,36 @@ class IcebergTable:
             "key_metadata": None,
         }
 
-        # manifest list = previous snapshot's manifests + the new one
-        # (the fast-append shape: existing manifests are carried forward)
+    def _commit_manifests(
+        self,
+        new_manifests: list[dict],
+        operation: str,
+        summary: dict,
+        snapshot_id: int,
+        seq: int,
+        carry: str = "all",
+    ) -> int:
+        """Write a manifest list (new manifests + carried-forward ones)
+        and commit the snapshot.
+
+        ``carry``: ``"all"`` keeps every manifest of the previous snapshot
+        (the fast-append / delta-commit shape), ``"deletes"`` keeps only
+        delete manifests (file-granular data rewrites that must not drop
+        pending row-level deletes), ``"none"`` keeps nothing (full
+        replace/compaction, which also purges applied deletes).
+        """
         prev = self.current_snapshot_id()
-        manifests = []
-        if prev is not None:
+        carried: list[dict] = []
+        if prev is not None and carry != "none":
             snap = next(
                 s for s in self.metadata["snapshots"] if s["snapshot-id"] == prev
             )
-            manifests, _ = read_ocf(snap["manifest-list"])
-        manifests = [new_manifest] + manifests
+            carried, _ = read_ocf(snap["manifest-list"])
+            if carry == "deletes":
+                carried = [m for m in carried if m.get("content", 0) == 1]
+        manifests = list(new_manifests) + carried
         mlist_path = (
-            f"{self.location}/metadata/snap-{snapshot_id}-{write_id}.avro"
+            f"{self.location}/metadata/snap-{snapshot_id}-{_uuid.uuid4().hex}.avro"
         )
         write_ocf(
             mlist_path,
@@ -727,11 +768,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now,
             "manifest-list": mlist_path,
-            "summary": {
-                "operation": "append",
-                "added-data-files": str(len(entries)),
-                "added-records": str(new_manifest["added_rows_count"]),
-            },
+            "summary": {"operation": operation, **summary},
             "schema-id": self.metadata["current-schema-id"],
         }
         if prev is not None:
@@ -791,6 +828,194 @@ class IcebergTable:
         return self._commit_file_set(
             kept, dropped, operation="delete"
         )
+
+    def delete_where(self, spark: SparkSession, condition) -> int | None:
+        """Row-level DELETE via v2 *position delete* files (merge-on-read).
+
+        Scans the live table (itself merge-on-read, so re-deleting is a
+        no-op), filters with ``condition`` (SQL string or Column), and
+        records each matching row as (data file path, row position) —
+        the position being parquet row index from ``_metadata.row_index``,
+        identical to what the scan uses to apply the delete, so writer
+        and reader agree by construction. The commit adds ONE delete
+        manifest; no data file is rewritten — at 100 TB a delete touches
+        only the rows deleted, and the next ``compact`` folds the deletes
+        into rewritten files and drops them.
+
+        Returns the new snapshot id, or None if nothing matched.
+        """
+        files, deletes, _stats = self.plan_scan()
+        if not files:
+            return None
+        live = self._read_files(spark, files, delete_files=deletes, keep_lineage=True)
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        hits = (
+            live.filter(cond)
+            .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+            # spec: position delete files are sorted by file_path, pos
+            .repartition(1)
+            .sortWithinPartitions("file_path", "pos")
+        )
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.metadata["last-sequence-number"] + 1
+        manifest, n_rows = self._write_delete_manifest(
+            hits, content=1, equality_ids=None, snapshot_id=snapshot_id, seq=seq
+        )
+        if manifest is None:
+            return None
+        return self._commit_manifests(
+            [manifest],
+            operation="delete",
+            summary={
+                "added-delete-files": str(manifest["added_files_count"]),
+                "added-position-deletes": str(n_rows),
+            },
+            snapshot_id=snapshot_id,
+            seq=seq,
+            carry="all",
+        )
+
+    def upsert(self, spark: SparkSession, source: DataFrame, key_columns: list[str]) -> int:
+        """MERGE (upsert) via v2 *equality delete* files, one snapshot.
+
+        Writes ``source`` as new data files AND an equality delete file
+        on ``key_columns`` under the SAME sequence number: equality
+        deletes apply only to data files with a strictly lower data
+        sequence number (spec), so previous rows with matching keys die
+        while the replacement rows survive — Iceberg's merge-on-read
+        MERGE shape. No existing file is read or rewritten: commit cost
+        is proportional to the delta, not the table.
+        """
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.metadata["last-sequence-number"] + 1
+        data_manifest = self._write_data_manifest(source, snapshot_id, seq)
+        name_to_id = {f["name"]: f["id"] for f in self._schema()["fields"]}
+        ids = [name_to_id[c] for c in key_columns]
+        keys = source.select(*key_columns).dropDuplicates().coalesce(1)
+        eq_manifest, n_rows = self._write_delete_manifest(
+            keys, content=2, equality_ids=ids, snapshot_id=snapshot_id, seq=seq
+        )
+        manifests = [data_manifest] + ([eq_manifest] if eq_manifest else [])
+        return self._commit_manifests(
+            manifests,
+            operation="overwrite",
+            summary={
+                "added-data-files": str(data_manifest["added_files_count"]),
+                "added-records": str(data_manifest["added_rows_count"]),
+                "added-delete-files": str(
+                    eq_manifest["added_files_count"] if eq_manifest else 0
+                ),
+                "added-equality-deletes": str(n_rows),
+            },
+            snapshot_id=snapshot_id,
+            seq=seq,
+            carry="all",
+        )
+
+    def _write_delete_manifest(
+        self,
+        rows: DataFrame,
+        content: int,
+        equality_ids: list[int] | None,
+        snapshot_id: int,
+        seq: int,
+    ) -> tuple[dict | None, int]:
+        """Write ``rows`` as parquet delete file(s) plus one delete
+        manifest (content=1 in the manifest list); returns (manifest
+        dict, row count), or (None, 0) if ``rows`` is empty.
+
+        Delete files are committed with an all-null partition tuple —
+        global scope, as the spec allows for path-based position deletes
+        and unpartitioned-spec equality deletes; the reader never
+        partition-prunes delete manifests, so scope stays correct.
+        """
+        import pyarrow.parquet as pq
+
+        write_id = _uuid.uuid4().hex
+        out_dir = f"{self.location}/data/{write_id}"
+        rows.write.mode("append").parquet(out_dir)
+        parts = self._partition_columns()
+        null_partition = {name: None for name, *_rest in parts}
+        entries = []
+        n_rows = 0
+        for root, _dirs, fns in os.walk(out_dir):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet"):
+                    continue
+                path = os.path.join(root, fn)
+                meta = pq.ParquetFile(path).metadata
+                if meta.num_rows == 0:
+                    continue
+                n_rows += meta.num_rows
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": None,
+                        "sequence_number": None,
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": content,
+                            "file_path": path,
+                            "file_format": "PARQUET",
+                            "partition": null_partition,
+                            "record_count": meta.num_rows,
+                            "file_size_in_bytes": os.path.getsize(path),
+                            "value_counts": None,
+                            "null_value_counts": None,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": list(equality_ids) if equality_ids else None,
+                        },
+                    }
+                )
+        if not entries:
+            return None, 0
+        partition_avro_fields = [
+            {
+                "name": name,
+                "type": _opt(
+                    "int"
+                    if transform.startswith("bucket[")
+                    else _ICEBERG_TO_AVRO[src_type]
+                ),
+                "field-id": 1000 + i,
+                "default": None,
+            }
+            for i, (name, _src, transform, src_type) in enumerate(parts)
+        ]
+        manifest_path = f"{self.location}/metadata/{write_id}-m0.avro"
+        spec = self._spec()
+        write_ocf(
+            manifest_path,
+            _manifest_entry_schema(partition_avro_fields),
+            entries,
+            metadata={
+                "schema": json.dumps(self._schema()),
+                "schema-id": str(self.metadata["current-schema-id"]),
+                "partition-spec": json.dumps(spec["fields"]),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": spec["spec-id"],
+            "content": 1,  # DELETES
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+            "key_metadata": None,
+        }
+        return manifest, n_rows
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the last ``keep_last`` snapshots and physically
@@ -874,29 +1099,25 @@ class IcebergTable:
 
     def _replace_with(self, df: DataFrame, operation: str) -> int:
         """Write ``df`` as a fresh file set and commit a snapshot whose
-        manifest list contains ONLY the new manifest (plus DELETED
-        entries for the old files, so the manifest records the swap)."""
+        manifest list contains ONLY the new manifest. Row-level delete
+        manifests are NOT carried forward: ``df`` is the merge-on-read
+        result, so the rewrite applies (and thereby purges) them."""
         old_files, _ = self.plan_files()
-        snapshot_id = self.append(df)
-        # append() carried the old manifests forward; rewrite the new
-        # snapshot's manifest list to drop them and record the deletes
-        snap = self.metadata["snapshots"][-1]
-        assert snap["snapshot-id"] == snapshot_id
-        manifests, _ = read_ocf(snap["manifest-list"])
-        write_ocf(
-            snap["manifest-list"],
-            MANIFEST_LIST_SCHEMA,
-            manifests[:1],  # append() prepends the new manifest
-            metadata={
-                "snapshot-id": str(snapshot_id),
-                "sequence-number": str(snap["sequence-number"]),
-                "format-version": "2",
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.metadata["last-sequence-number"] + 1
+        manifest = self._write_data_manifest(df, snapshot_id, seq)
+        return self._commit_manifests(
+            [manifest],
+            operation=operation,
+            summary={
+                "added-data-files": str(manifest["added_files_count"]),
+                "added-records": str(manifest["added_rows_count"]),
+                "deleted-data-files": str(len(old_files)),
             },
+            snapshot_id=snapshot_id,
+            seq=seq,
+            carry="none",
         )
-        snap["summary"]["operation"] = operation
-        snap["summary"]["deleted-data-files"] = str(len(old_files))
-        self._commit_metadata()
-        return snapshot_id
 
     def _commit_file_set(
         self, kept: list[dict], dropped: list[dict], operation: str
@@ -919,25 +1140,22 @@ class IcebergTable:
             }
             for i, (name, _src, transform, src_type) in enumerate(parts)
         ]
-        entries = [
-            {
-                "status": 0,  # EXISTING
+        def _entry(status: int, f: dict) -> dict:
+            f = dict(f)
+            # plan_files attaches the file's effective data sequence
+            # number; EXISTING entries must carry it explicitly (spec:
+            # only status-1 ADDED entries inherit the manifest's seq)
+            data_seq = f.pop("_data_seq", None)
+            f.setdefault("equality_ids", None)
+            return {
+                "status": status,
                 "snapshot_id": snapshot_id,
-                "sequence_number": None,
+                "sequence_number": data_seq,
                 "file_sequence_number": None,
                 "data_file": f,
             }
-            for f in kept
-        ] + [
-            {
-                "status": 2,  # DELETED
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": f,
-            }
-            for f in dropped
-        ]
+
+        entries = [_entry(0, f) for f in kept] + [_entry(2, f) for f in dropped]
         manifest_path = f"{self.location}/metadata/{write_id}-m0.avro"
         spec = self._spec()
         write_ocf(
@@ -953,59 +1171,40 @@ class IcebergTable:
                 "content": "data",
             },
         )
-        mlist_path = f"{self.location}/metadata/snap-{snapshot_id}-{write_id}.avro"
-        write_ocf(
-            mlist_path,
-            MANIFEST_LIST_SCHEMA,
-            [
-                {
-                    "manifest_path": manifest_path,
-                    "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": spec["spec-id"],
-                    "content": 0,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": snapshot_id,
-                    "added_files_count": 0,
-                    "existing_files_count": len(kept),
-                    "deleted_files_count": len(dropped),
-                    "added_rows_count": 0,
-                    "existing_rows_count": sum(f["record_count"] for f in kept),
-                    "deleted_rows_count": sum(f["record_count"] for f in dropped),
-                    "partitions": None,
-                    "key_metadata": None,
-                }
-            ],
-            metadata={
-                "snapshot-id": str(snapshot_id),
-                "sequence-number": str(seq),
-                "format-version": "2",
-            },
-        )
-        now = int(time.time() * 1000)
-        prev = self.current_snapshot_id()
-        snapshot = {
-            "snapshot-id": snapshot_id,
-            "sequence-number": seq,
-            "timestamp-ms": now,
-            "manifest-list": mlist_path,
-            "summary": {
-                "operation": operation,
-                "deleted-data-files": str(len(dropped)),
-            },
-            "schema-id": self.metadata["current-schema-id"],
+        kept_seqs = [
+            e["sequence_number"] for e in entries if e["sequence_number"] is not None
+        ]
+        manifest = {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": spec["spec-id"],
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(kept_seqs + [seq]),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(kept),
+            "deleted_files_count": len(dropped),
+            "added_rows_count": 0,
+            "existing_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries if e["status"] == 0
+            ),
+            "deleted_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries if e["status"] == 2
+            ),
+            "partitions": None,
+            "key_metadata": None,
         }
-        if prev is not None:
-            snapshot["parent-snapshot-id"] = prev
-        self.metadata["snapshots"].append(snapshot)
-        self.metadata["snapshot-log"].append(
-            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        # carry delete manifests forward: a file-granular data rewrite
+        # must not drop row-level deletes pending against kept files
+        return self._commit_manifests(
+            [manifest],
+            operation=operation,
+            summary={"deleted-data-files": str(len(dropped))},
+            snapshot_id=snapshot_id,
+            seq=seq,
+            carry="deletes",
         )
-        self.metadata["current-snapshot-id"] = snapshot_id
-        self.metadata["last-sequence-number"] = seq
-        self.metadata["last-updated-ms"] = now
-        self._commit_metadata()
-        return snapshot_id
 
     # -- scan ----------------------------------------------------------------
 
@@ -1015,16 +1214,43 @@ class IcebergTable:
         partition_filter: dict | None = None,
         bounds_filter: dict | None = None,
     ) -> tuple[list[dict], dict]:
-        """Plan a scan: returns (live data_file dicts, pruning stats).
+        """Plan the data-file side of a scan: (data_file dicts, stats).
+        Thin wrapper over ``plan_scan`` for callers that operate at file
+        granularity (partition deletes, compaction bookkeeping)."""
+        files, _deletes, stats = self.plan_scan(
+            snapshot_id, partition_filter, bounds_filter
+        )
+        return files, stats
+
+    def plan_scan(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
+        bounds_filter: dict | None = None,
+    ) -> tuple[list[dict], list[dict], dict]:
+        """Plan a scan: returns (data files, delete files, pruning stats).
 
         ``partition_filter``: {partition field name: exact value} — prunes
         manifests via field summaries, then files via partition tuples.
         ``bounds_filter``: {column: (lo, hi)} — prunes files via the
         per-column lower/upper bounds recorded at commit time.
+
+        Each returned data file carries ``"_data_seq"`` (its effective
+        data sequence number: the entry's explicit one, else inherited
+        from its manifest) — the key for row-level delete application.
+        Delete manifests (content=1) are global-scope here and are never
+        partition-pruned; position deletes name their target file, so
+        deletes against pruned-out files drop out in the anti-join.
         """
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         if sid is None:
-            return [], {"manifests_total": 0, "manifests_read": 0, "files_total": 0, "files_selected": 0}
+            return [], [], {
+                "manifests_total": 0,
+                "manifests_read": 0,
+                "files_total": 0,
+                "files_selected": 0,
+                "delete_files_selected": 0,
+            }
         snap = next(
             s for s in self.metadata["snapshots"] if s["snapshot-id"] == sid
         )
@@ -1040,10 +1266,26 @@ class IcebergTable:
             "manifests_read": 0,
             "files_total": 0,
             "files_selected": 0,
+            "delete_files_selected": 0,
         }
         schema_fields = {f["name"]: f for f in self._schema()["fields"]}
         selected = []
+        delete_files = []
         for m in manifests:
+            if m.get("content", 0) == 1:  # delete manifest: global scope
+                entries, _ = read_ocf(m["manifest_path"])
+                for e in entries:
+                    if e["status"] == 2:
+                        continue
+                    d = dict(e["data_file"])
+                    d["_data_seq"] = (
+                        e["sequence_number"]
+                        if e["sequence_number"] is not None
+                        else m["sequence_number"]
+                    )
+                    delete_files.append(d)
+                    stats["delete_files_selected"] += 1
+                continue
             if partition_filter and m.get("partitions"):
                 skip = False
                 for col, want in partition_filter.items():
@@ -1093,8 +1335,14 @@ class IcebergTable:
                     if skip:
                         continue
                 stats["files_selected"] += 1
-                selected.append(df_)
-        return selected, stats
+                d = dict(df_)
+                d["_data_seq"] = (
+                    e["sequence_number"]
+                    if e["sequence_number"] is not None
+                    else m["sequence_number"]
+                )
+                selected.append(d)
+        return selected, delete_files, stats
 
     def scan(
         self,
@@ -1103,9 +1351,12 @@ class IcebergTable:
         partition_filter: dict | None = None,
         bounds_filter: dict | None = None,
     ) -> DataFrame:
-        """Read the table (optionally time-travelled / pruned) as a DataFrame."""
-        files, _stats = self.plan_files(snapshot_id, partition_filter, bounds_filter)
-        return self._read_files(spark, files)
+        """Read the table (optionally time-travelled / pruned) as a
+        DataFrame, merge-on-read applying any row-level delete files."""
+        files, deletes, _stats = self.plan_scan(
+            snapshot_id, partition_filter, bounds_filter
+        )
+        return self._read_files(spark, files, delete_files=deletes)
 
     def scan_incremental(
         self,
@@ -1146,6 +1397,8 @@ class IcebergTable:
         manifests, _ = read_ocf(to_snap["manifest-list"])
         files = []
         for m in manifests:
+            if m.get("content", 0) == 1:  # delete manifests carry no adds
+                continue
             if not (from_seq < m["min_sequence_number"] <= to_snap["sequence-number"]):
                 continue
             entries, _ = read_ocf(m["manifest_path"])
@@ -1154,11 +1407,36 @@ class IcebergTable:
             )
         return self._read_files(spark, files)
 
-    def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        files: list[dict],
+        delete_files: list[dict] | None = None,
+        keep_lineage: bool = False,
+    ) -> DataFrame:
+        """Read planned data files, merge-on-read applying row-level
+        delete files.
+
+        Position deletes (content=1) anti-join on (file path, row
+        position); the position comes from Spark's ``_metadata.row_index``
+        hidden column — the same parquet row index the delete files
+        record, computed executor-side with no extra shuffle. Equality
+        deletes (content=2) anti-join on the delete file's key columns,
+        restricted (per spec) to data files whose data sequence number is
+        strictly LOWER than the delete's — which is what lets an upsert
+        commit its equality deletes and replacement rows under one
+        sequence number. With ``keep_lineage`` the output keeps ``_file``
+        / ``_pos`` / ``_seq`` columns (delete_where uses them to record
+        positions).
+        """
         schema = self._schema()
         col_order = [f["name"] for f in schema["fields"]]
         spark_schema = _spark_ddl(schema, self._partition_columns())
+        delete_files = delete_files or []
+        lineage = keep_lineage or bool(delete_files)
         if not files:
+            if lineage and keep_lineage:
+                spark_schema += ", _file string, _pos bigint, _seq bigint"
             return spark.createDataFrame([], spark_schema)
         parts = self._partition_columns()
         identity = [
@@ -1201,8 +1479,62 @@ class IcebergTable:
                     df = df.withColumn(
                         fld["name"], F.lit(None).cast(_type_ddl(fld["type"]))
                     )
-            df = df.select(*[c for c in col_order if c not in hidden])
+            cols = [c for c in col_order if c not in hidden]
+            if lineage:
+                # normalize file:///p -> /p so _file matches manifest paths
+                cols = cols + [
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ).alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                ]
+            df = df.select(*cols)
             out = df if out is None else out.unionByName(df)
+
+        if lineage:
+            # per-file data sequence numbers (bounded: one row per file)
+            seq_rows = [
+                (f["file_path"], int(f.get("_data_seq", 0))) for f in files
+            ]
+            seq_df = spark.createDataFrame(seq_rows, "_file string, _seq bigint")
+            out = out.join(F.broadcast(seq_df), "_file", "left")
+
+        pos_deletes = [d for d in delete_files if d.get("content") == 1]
+        if pos_deletes:
+            # position deletes name their target file explicitly, so the
+            # sequence-number check is vacuous (paths are never reused)
+            dels = spark.read.parquet(*[d["file_path"] for d in pos_deletes])
+            out = out.join(
+                F.broadcast(dels)
+                if sum(d["file_size_in_bytes"] for d in pos_deletes) < 64 << 20
+                else dels,
+                (out["_file"] == dels["file_path"]) & (out["_pos"] == dels["pos"]),
+                "left_anti",
+            )
+
+        eq_deletes = [d for d in delete_files if d.get("content") == 2]
+        if eq_deletes:
+            id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+            by_keyset: dict[tuple, list[dict]] = {}
+            for d in eq_deletes:
+                by_keyset.setdefault(tuple(d["equality_ids"] or ()), []).append(d)
+            for ids, dfiles in sorted(by_keyset.items()):
+                keys = [id_to_name[i] for i in ids]
+                dels = None
+                for d in dfiles:
+                    one = (
+                        spark.read.parquet(d["file_path"])
+                        .select(*keys)
+                        .withColumn("__dseq", F.lit(int(d["_data_seq"])))
+                    )
+                    dels = one if dels is None else dels.unionByName(one)
+                cond = out["_seq"] < dels["__dseq"]
+                for k in keys:
+                    cond = cond & out[k].eqNullSafe(dels[k])
+                out = out.join(F.broadcast(dels), cond, "left_anti")
+
+        if lineage and not keep_lineage:
+            out = out.drop("_file", "_pos", "_seq")
         return out
 
 
