@@ -1575,6 +1575,44 @@ class IcebergDocumentSink:
         ledger = self.committed().select("doc_id")
         return documents.join(ledger, "doc_id", "left_anti")
 
+    def invalidate(self, doc_ids: DataFrame) -> int | None:
+        """Evict committed documents from the ledger so the next resume
+        re-extracts them (e.g. after a decoder fix un-quarantines their
+        media). One equality-delete commit on ``doc_id`` — no result
+        file is rewritten, and every prior snapshot stays time-travel
+        readable for auditing what the old extraction produced.
+        """
+        if self.table.current_snapshot_id() is None:
+            return None
+        keys = doc_ids.select("doc_id").dropDuplicates().coalesce(1)
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.table.metadata["last-sequence-number"] + 1
+        name_to_id = {
+            f["name"]: f["id"] for f in self.table._schema()["fields"]
+        }
+        manifest, n_rows = self.table._write_delete_manifest(
+            keys,
+            content=2,
+            equality_ids=[name_to_id["doc_id"]],
+            snapshot_id=snapshot_id,
+            seq=seq,
+        )
+        if manifest is None:
+            return None
+        out = self.table._commit_manifests(
+            [manifest],
+            operation="delete",
+            summary={
+                "added-delete-files": str(manifest["added_files_count"]),
+                "added-equality-deletes": str(n_rows),
+            },
+            snapshot_id=snapshot_id,
+            seq=seq,
+            carry="all",
+        )
+        self.table = IcebergTable.load(self.table.location)
+        return out
+
 
 def _bucket_column(src: str, src_type: str, n: int):
     """Vectorized Iceberg bucket[n] as a pandas UDF (murmur3 per spec)."""
