@@ -499,6 +499,26 @@ class IcebergTable:
         sid = self.metadata.get("current-snapshot-id", -1)
         return None if sid in (-1, None) else sid
 
+    def last_streaming_batch(self, query_id: str) -> int:
+        """Largest streaming epoch committed by ``query_id``, or -1.
+
+        The streaming sink stamps every commit's snapshot summary with
+        (streaming-query-id, streaming-batch-id); reading the high-water
+        mark back is what lets a replayed foreachBatch epoch (crash
+        after the table commit, before the streaming commit log) detect
+        that its data is already in the table and skip — the same
+        mechanism Iceberg's real Spark sink uses. Epochs are monotonic
+        per checkpoint, so the max over retained snapshots suffices;
+        ``expire_snapshots`` keeps the newest snapshots, which is where
+        the max lives.
+        """
+        last = -1
+        for s in self.metadata["snapshots"]:
+            summary = s.get("summary") or {}
+            if summary.get("streaming-query-id") == query_id:
+                last = max(last, int(summary.get("streaming-batch-id", -1)))
+        return last
+
     # -- commit protocol ----------------------------------------------------
 
     def _commit_metadata(self) -> None:
@@ -528,13 +548,15 @@ class IcebergTable:
 
     # -- append --------------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, extra_summary: dict | None = None) -> int:
         """Append a DataFrame as a new snapshot; returns the snapshot id.
 
         Data files are written by Spark (hive-layout per partition tuple);
         the commit itself is metadata-only: per-file stats come from one
         parquet-footer read per new file, exactly the stats a real Iceberg
-        writer's tasks report back to its driver.
+        writer's tasks report back to its driver. ``extra_summary``
+        key/values land in the snapshot summary (e.g. a streaming sink's
+        batch id for replay idempotence).
         """
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         seq = self.metadata["last-sequence-number"] + 1
@@ -545,6 +567,7 @@ class IcebergTable:
             summary={
                 "added-data-files": str(manifest["added_files_count"]),
                 "added-records": str(manifest["added_rows_count"]),
+                **(extra_summary or {}),
             },
             snapshot_id=snapshot_id,
             seq=seq,

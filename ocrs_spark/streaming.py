@@ -182,3 +182,73 @@ def stream_ocr_documents(
     if not q.awaitTermination(900):
         q.stop()
         raise TimeoutError("stream_ocr_documents: backlog not drained in 900s")
+
+
+def stream_ocr_to_iceberg(
+    spark: SparkSession,
+    documents_dir: str,
+    media: DataFrame,
+    checkpoint_dir: str,
+    table_location: str,
+    engine_conf: dict | None = None,
+) -> None:
+    """Incremental OCR with a transactional Iceberg sink — exactly-once
+    end to end.
+
+    foreachBatch alone is at-least-once: a crash after the sink write
+    but before Spark records the epoch in the streaming commit log
+    replays the whole micro-batch on restart. The parquet sink above
+    absorbs that by overwriting a per-batch directory; here the sink is
+    an append-only Iceberg table, so replays must be *detected*, not
+    overwritten. Each commit stamps its snapshot summary with
+    (streaming-query-id, streaming-batch-id); a replayed epoch finds
+    its id at-or-below the table's high-water mark and skips before
+    doing any work. The dedup key is Spark's own streaming query id
+    (persisted in ``<checkpoint>/metadata``), so the skip scope is
+    exactly the checkpoint's replay scope: restarting from the same
+    checkpoint dedups, pointing a fresh checkpoint at the table is a
+    new query that appends — the same contract as Iceberg's real Spark
+    streaming sink. Snapshot commits go through the metadata CAS, so a
+    kill mid-commit leaves the previous snapshot live and the epoch
+    uncommitted on both sides.
+    """
+    import json
+    import os
+
+    from .iceberg import IcebergTable
+
+    engine_conf = engine_conf or {"kind": "fake"}
+    schema = spark.read.parquet(documents_dir).schema
+    stream = spark.readStream.schema(schema).parquet(documents_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Spark writes the query id to the checkpoint before the first
+        # epoch runs; it is stable across restarts from this checkpoint.
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            query_id = json.load(f)["id"]
+        try:
+            table = IcebergTable.load(table_location)
+            if table.last_streaming_batch(query_id) >= batch_id:
+                return  # replayed epoch: already committed atomically
+        except FileNotFoundError:
+            table = None
+        woven = ocr_documents(batch_df, media, engine_conf=engine_conf)
+        if table is None:
+            table = IcebergTable.create(table_location, woven.schema)
+        table.append(
+            woven,
+            extra_summary={
+                "streaming-query-id": query_id,
+                "streaming-batch-id": str(batch_id),
+            },
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(900):
+        q.stop()
+        raise TimeoutError("stream_ocr_to_iceberg: backlog not drained in 900s")

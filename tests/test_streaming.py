@@ -10,6 +10,7 @@ from ocrs_spark.ops.relational import ORACLE_TUMBLING, events_sessionize
 from ocrs_spark.streaming import (
     stream_events_tumbling,
     stream_ocr_documents,
+    stream_ocr_to_iceberg,
     stream_sessionize_events,
 )
 
@@ -90,6 +91,97 @@ def test_stream_ocr_incremental_exactly_once(spark, tmp_path):
         for r in expected.collect()
     }
     assert woven == want
+
+
+def test_stream_ocr_iceberg_incremental_exactly_once(spark, tmp_path):
+    """The transactional Iceberg sink: new files arriving between
+    restarts land as new snapshots, each stamped with its streaming
+    epoch; nothing committed is reprocessed and the woven output is
+    span-exact."""
+    from ocrs_spark.iceberg import IcebergTable
+
+    corpus = generate_corpus(n_docs=8, seed=11)
+    docs, media, expected = corpus_to_spark(spark, corpus)
+    in_dir = str(tmp_path / "in")
+    loc = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    half2 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+
+    half1.write.mode("append").parquet(in_dir)
+    stream_ocr_to_iceberg(spark, in_dir, media, ckpt, loc)
+    table = IcebergTable.load(loc)
+    assert table.scan(spark).count() == half1.count()
+
+    half2.write.mode("append").parquet(in_dir)
+    stream_ocr_to_iceberg(spark, in_dir, media, ckpt, loc)
+    table = IcebergTable.load(loc)
+    result = table.scan(spark)
+    assert result.count() == docs.count()
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    # Every snapshot carries its epoch stamp under one stable query id.
+    stamps = [
+        (s["summary"]["streaming-query-id"], int(s["summary"]["streaming-batch-id"]))
+        for s in table.snapshots()
+    ]
+    assert len({q for q, _ in stamps}) == 1
+    assert sorted(b for _, b in stamps) == [0, 1]
+
+    woven = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in result.collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in expected.collect()
+    }
+    assert woven == want
+
+
+def test_stream_ocr_iceberg_crash_replay_skips_committed_epoch(spark, tmp_path):
+    """Simulate the at-least-once crash window: the Iceberg commit
+    succeeded but the streaming commit log entry was lost, so restart
+    replays the epoch with the same batch id. The sink must recognize
+    the epoch in the snapshot summaries and skip — the table stays
+    duplicate-free with no extra snapshot."""
+    import os
+
+    from ocrs_spark.iceberg import IcebergTable
+
+    corpus = generate_corpus(n_docs=4, seed=13)
+    docs, media, _ = corpus_to_spark(spark, corpus)
+    in_dir = str(tmp_path / "in")
+    loc = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.parquet(in_dir)
+
+    stream_ocr_to_iceberg(spark, in_dir, media, ckpt, loc)
+    n_snaps = len(IcebergTable.load(loc).snapshots())
+    # Erase the streaming commit record for epoch 0 (and its checksum
+    # sidecar, which would fail the rewrite's rename); offsets/metadata
+    # survive, so the restart re-runs batch 0 under the same query id.
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+    stream_ocr_to_iceberg(spark, in_dir, media, ckpt, loc)
+
+    table = IcebergTable.load(loc)
+    assert len(table.snapshots()) == n_snaps
+    result = table.scan(spark)
+    assert result.count() == docs.count()
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    # A FRESH checkpoint is a new streaming query (new query id): its
+    # epochs are not dedup-able against the old query's — same contract
+    # as Iceberg's real Spark sink, where the skip scope is exactly the
+    # checkpoint's replay scope.
+    stream_ocr_to_iceberg(spark, in_dir, media, str(tmp_path / "ckpt2"), loc)
+    table = IcebergTable.load(loc)
+    assert table.scan(spark).count() == 2 * docs.count()
+    assert len({
+        s["summary"]["streaming-query-id"] for s in table.snapshots()
+    }) == 2
 
 
 def test_stream_ocr_replay_is_idempotent(spark, tmp_path):
