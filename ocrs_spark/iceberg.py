@@ -25,8 +25,11 @@ Everything the spec makes load-bearing is real:
   version, a crash mid-commit leaves the previous version live, and
   ``version-hint.text`` is a best-effort pointer readers can fall back
   from by listing the metadata directory.
-- **Partition pruning**: identity and ``bucket[N]`` partition transforms
-  (murmur3_x86_32 per spec appendix B); manifest lists store per-field
+- **Partition pruning**: the spec's partition transforms — identity,
+  ``bucket[N]`` (murmur3_x86_32 per spec appendix B), ``truncate[W]``
+  (int/long/string), and the epoch-anchored temporal transforms
+  ``year``/``month``/``day``/``hour`` for hidden time partitioning, all
+  but bucket pure Spark expressions; manifest lists store per-field
   partition summaries (contains_null / lower / upper in the spec's
   single-value binary serialization), manifests store per-file partition
   tuples and per-column bounds, and ``scan`` prunes first manifests,
@@ -220,6 +223,8 @@ def serialize_bound(value, iceberg_type: str) -> bytes | None:
         return str(value).encode("utf-8")
     if iceberg_type == "boolean":
         return b"\x01" if value else b"\x00"
+    if iceberg_type == "date":
+        return struct.pack("<i", int(value))  # days from epoch, spec D
     return None  # other types: bounds omitted
 
 
@@ -238,6 +243,8 @@ def deserialize_bound(data: bytes | None, iceberg_type: str):
         return data.decode("utf-8")
     if iceberg_type == "boolean":
         return data == b"\x01"
+    if iceberg_type == "date":
+        return struct.unpack("<i", data)[0]
     return None
 
 
@@ -369,7 +376,104 @@ _ICEBERG_TO_AVRO = {
     "float": "float",
     "double": "double",
     "binary": "bytes",
+    "date": "int",  # days from epoch
 }
+
+
+def transform_result_type(transform: str, src_type: str) -> str:
+    """Iceberg type of a partition value produced by ``transform``
+    (spec's partition-transform result-type table)."""
+    if transform == "identity":
+        return src_type
+    if transform.startswith("bucket["):
+        return "int"
+    if transform.startswith("truncate["):
+        return src_type
+    if transform == "day":
+        return "date"  # stored as int days from epoch
+    if transform in ("year", "month", "hour"):
+        return "int"
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+def transform_value(value, transform: str, src_type: str):
+    """Python-side twin of ``partition_transform_column`` for single
+    values: derive the partition value a source-column value lands in,
+    so callers can build ``partition_filter`` dicts from natural keys
+    (e.g. a ``datetime.date`` -> its ``day`` ordinal) without knowing
+    the transform encodings."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if transform == "identity":
+        return value
+    if transform.startswith("bucket["):
+        return bucket_value(value, src_type, int(transform[len("bucket[") : -1]))
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if src_type in ("int", "long"):
+            return int(value) - (int(value) % w)  # Python % == pmod
+        if src_type == "string":
+            return str(value)[:w]
+        raise ValueError(f"truncate transform unsupported for {src_type}")
+    if transform in ("year", "month", "day", "hour"):
+        if isinstance(value, _dt.datetime):
+            ts = value if value.tzinfo else value.replace(tzinfo=_dt.timezone.utc)
+            ts = ts.astimezone(_dt.timezone.utc)
+        elif isinstance(value, _dt.date):
+            ts = _dt.datetime(value.year, value.month, value.day, tzinfo=_dt.timezone.utc)
+        else:
+            raise ValueError(f"temporal transform needs a date/datetime, got {type(value)}")
+        if transform == "year":
+            return ts.year - 1970
+        if transform == "month":
+            return (ts.year - 1970) * 12 + ts.month - 1
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        if transform == "day":
+            return (ts - epoch).days
+        return int((ts - epoch).total_seconds() // 3600)
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
+def partition_transform_column(src: str, src_type: str, transform: str):
+    """The partition transform as a Spark Column over source column
+    ``src`` — pure built-in expressions for every transform except
+    bucket[N] (murmur3, Arrow-vectorized pandas UDF), so hidden
+    partitioning costs one projection inside codegen at write time.
+
+    Temporal transforms follow the spec's epoch-anchored ordinals
+    (year/month counted from 1970, day as days from epoch, hour as
+    hours from epoch), evaluated in UTC — ``session.get_spark`` pins
+    ``spark.sql.session.timeZone=UTC`` so the timestamptz-to-date cast
+    is the spec's UTC projection.
+    """
+    c = F.col(src)
+    if transform == "identity":
+        return c
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket[") : -1])
+        return _bucket_column(src, src_type, n)
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate[") : -1])
+        if w <= 0:
+            raise ValueError(f"truncate width must be positive: {transform}")
+        if src_type in ("int", "long"):
+            # spec: v - (v % W) with a positive remainder (pmod), so
+            # negative values round toward -inf, not toward zero.
+            return c - F.pmod(c, F.lit(w))
+        if src_type == "string":
+            return F.substring(c, 1, w)
+        raise ValueError(f"truncate transform unsupported for {src_type}")
+    if transform in ("year", "month", "day") and src_type in ("date", "timestamptz"):
+        if transform == "year":
+            return (F.year(c) - F.lit(1970)).cast("int")
+        if transform == "month":
+            return ((F.year(c) - F.lit(1970)) * F.lit(12) + F.month(c) - F.lit(1)).cast("int")
+        return F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+    if transform == "hour" and src_type == "timestamptz":
+        return F.floor(F.unix_timestamp(c) / F.lit(3600)).cast("int")
+    raise ValueError(f"unsupported transform {transform!r} for {src_type}")
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +501,11 @@ class IcebergTable:
         """Create a new table.
 
         ``partition_by`` is a list of (column, transform) where transform
-        is ``"identity"`` or ``"bucket[N]"``.
+        is ``"identity"``, ``"bucket[N]"``, ``"truncate[W]"``, or one of
+        the temporal transforms ``"year"``/``"month"``/``"day"``/
+        ``"hour"`` over a date/timestamp column (hidden partitioning:
+        queries filter the source column; the derived partition value
+        never has to appear in user queries).
         """
         location = location.rstrip("/")
         schema = schema_from_spark(spark_schema)
@@ -585,14 +693,10 @@ class IcebergTable:
         out = df
         part_names = []
         for name, src, transform, src_type in parts:
-            if transform == "identity":
-                if name != src:
-                    out = out.withColumn(name, F.col(src))
-            elif transform.startswith("bucket["):
-                n = int(transform[len("bucket[") : -1])
-                out = out.withColumn(name, _bucket_column(src, src_type, n))
-            else:
-                raise ValueError(f"unsupported transform {transform!r}")
+            if not (transform == "identity" and name == src):
+                out = out.withColumn(
+                    name, partition_transform_column(src, src_type, transform)
+                )
             part_names.append(name)
         writer = out.write.mode("append")
         if part_names:
@@ -621,11 +725,10 @@ class IcebergTable:
                 partition = {}
                 for name, src, transform, src_type in parts:
                     raw = tuple_vals.get(name)
+                    rtype = transform_result_type(transform, src_type)
                     if raw is None:
                         partition[name] = None
-                    elif transform.startswith("bucket["):
-                        partition[name] = int(raw)
-                    elif src_type in ("int", "long"):
+                    elif rtype in ("int", "long", "date"):
                         partition[name] = int(raw)
                     else:
                         partition[name] = raw
@@ -679,9 +782,7 @@ class IcebergTable:
             {
                 "name": name,
                 "type": _opt(
-                    "int"
-                    if transform.startswith("bucket[")
-                    else _ICEBERG_TO_AVRO[src_type]
+                    _ICEBERG_TO_AVRO[transform_result_type(transform, src_type)]
                 ),
                 "field-id": 1000 + i,
                 "default": None,
@@ -711,7 +812,7 @@ class IcebergTable:
         for i, (name, _src, transform, src_type) in enumerate(parts):
             vals = [e["data_file"]["partition"][name] for e in entries]
             non_null = [v for v in vals if v is not None]
-            bound_type = "int" if transform.startswith("bucket[") else src_type
+            bound_type = transform_result_type(transform, src_type)
             summaries.append(
                 {
                     "contains_null": any(v is None for v in vals),
@@ -997,9 +1098,7 @@ class IcebergTable:
             {
                 "name": name,
                 "type": _opt(
-                    "int"
-                    if transform.startswith("bucket[")
-                    else _ICEBERG_TO_AVRO[src_type]
+                    _ICEBERG_TO_AVRO[transform_result_type(transform, src_type)]
                 ),
                 "field-id": 1000 + i,
                 "default": None,
@@ -1154,9 +1253,7 @@ class IcebergTable:
             {
                 "name": name,
                 "type": _opt(
-                    "int"
-                    if transform.startswith("bucket[")
-                    else _ICEBERG_TO_AVRO[src_type]
+                    _ICEBERG_TO_AVRO[transform_result_type(transform, src_type)]
                 ),
                 "field-id": 1000 + i,
                 "default": None,
@@ -1281,7 +1378,7 @@ class IcebergTable:
         parts = self._partition_columns()
         part_index = {name: i for i, (name, *_rest) in enumerate(parts)}
         part_bound_type = {
-            name: ("int" if transform.startswith("bucket[") else src_type)
+            name: transform_result_type(transform, src_type)
             for name, _src, transform, src_type in parts
         }
         stats = {

@@ -15,8 +15,10 @@ from ocrs_spark.iceberg import (
     IcebergTable,
     bucket_value,
     murmur3_32,
+    partition_transform_column,
     serialize_bound,
     deserialize_bound,
+    transform_value,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -136,6 +138,114 @@ def test_bucket_partition_point_lookup(spark, docs, tmp_path):
     assert len(row) == 1
     want = docs.filter("doc_id = 42").collect()[0]
     assert row[0].text == want.text and row[0].lang == want.lang
+
+
+def test_temporal_transforms_column_vs_python_parity(spark):
+    """The Spark-expression transforms and the Python single-value twin
+    must agree on every epoch-anchored ordinal, including pre-1970 and
+    non-midnight timestamps (negative ordinals round toward -inf)."""
+    import datetime as dt
+
+    stamps = [
+        dt.datetime(1969, 12, 31, 23, 30, tzinfo=dt.timezone.utc),
+        dt.datetime(1970, 1, 1, 0, 0, tzinfo=dt.timezone.utc),
+        dt.datetime(1970, 1, 1, 0, 59, tzinfo=dt.timezone.utc),
+        dt.datetime(1965, 6, 15, 12, 0, tzinfo=dt.timezone.utc),
+        dt.datetime(2017, 11, 16, 22, 31, 8, tzinfo=dt.timezone.utc),
+        dt.datetime(2026, 2, 28, 23, 59, 59, tzinfo=dt.timezone.utc),
+    ]
+    df = spark.createDataFrame([(s,) for s in stamps], "ts timestamp")
+    cols = {
+        tr: partition_transform_column("ts", "timestamptz", tr).alias(tr)
+        for tr in ("year", "month", "day", "hour")
+    }
+    got = df.select(F.col("ts"), *cols.values()).collect()
+    for row in got:
+        ts = row["ts"].replace(tzinfo=dt.timezone.utc)
+        for tr in cols:
+            assert row[tr] == transform_value(ts, tr, "timestamptz"), (ts, tr)
+    # spec's worked example: 2017-11-16 -> day ordinal 17486
+    assert transform_value(dt.date(2017, 11, 16), "day", "date") == 17486
+    assert transform_value(dt.date(2017, 11, 16), "month", "date") == 574
+    assert transform_value(dt.date(2017, 11, 16), "year", "date") == 47
+    assert (
+        transform_value(
+            dt.datetime(2017, 11, 16, 22, 31, 8, tzinfo=dt.timezone.utc),
+            "hour",
+            "timestamptz",
+        )
+        == 17486 * 24 + 22
+    )
+
+
+def test_truncate_transform_parity_and_negatives(spark):
+    df = spark.createDataFrame(
+        [(-21,), (-10,), (-1,), (0,), (9,), (17,)], "v long"
+    )
+    got = {
+        r["v"]: r["t"]
+        for r in df.select(
+            "v", partition_transform_column("v", "long", "truncate[10]").alias("t")
+        ).collect()
+    }
+    for v, t in got.items():
+        assert t == transform_value(v, "truncate[10]", "long"), v
+    # spec: truncate rounds toward -inf (W=10: -1 -> -10), strings by chars
+    assert got[-1] == -10 and got[-21] == -30 and got[17] == 10
+    assert transform_value("iceberg", "truncate[3]", "string") == "ice"
+
+
+def test_day_partition_hidden_pruning(spark, tmp_path):
+    """day(ts) hidden partitioning: appends land in per-day directories,
+    a point date prunes to that day's files only, and the source column
+    round-trips untouched (the derived ordinal never surfaces)."""
+    import datetime as dt
+
+    events = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, events.schema, partition_by=[("ts", "day")])
+    t.append(events)
+    loaded = IcebergTable.load(loc)
+
+    some_day = events.select(F.to_date("ts").alias("d")).groupBy("d").count().orderBy(
+        F.desc("count")
+    ).first()["d"]
+    ordinal = transform_value(some_day, "day", "timestamptz")
+    files, stats = loaded.plan_files(partition_filter={"ts_day": ordinal})
+    assert 0 < stats["files_selected"] < stats["files_total"]
+
+    got = loaded.scan(spark, partition_filter={"ts_day": ordinal})
+    want = events.filter(F.to_date("ts") == F.lit(some_day))
+    assert got.count() == want.count() > 0
+    assert "ts_day" not in got.columns
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in want.select("event_id").collect()
+    }
+    # full scan still returns everything with timestamps intact
+    assert loaded.scan(spark).count() == events.count()
+    one = loaded.scan(spark).filter(F.col("event_id") == got.first()["event_id"]).first()
+    assert isinstance(one["ts"], dt.datetime)
+
+
+def test_truncate_partition_point_lookup(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("doc_id", "truncate[100]")])
+    t.append(docs)
+    loaded = IcebergTable.load(t.location)
+    _, all_stats = loaded.plan_files()
+    files, stats = loaded.plan_files(
+        partition_filter={"doc_id_truncate": transform_value(242, "truncate[100]", "long")}
+    )
+    assert 0 < stats["files_selected"] < all_stats["files_total"]
+    got = loaded.scan(
+        spark,
+        partition_filter={"doc_id_truncate": transform_value(242, "truncate[100]", "long")},
+    )
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert ids == {r["doc_id"] for r in docs.filter("doc_id >= 200 and doc_id < 300").collect()}
 
 
 def test_null_partition_values(spark, docs, tmp_path):
