@@ -1350,8 +1350,11 @@ class IcebergTable:
     ) -> tuple[list[dict], list[dict], dict]:
         """Plan a scan: returns (data files, delete files, pruning stats).
 
-        ``partition_filter``: {partition field name: exact value} — prunes
-        manifests via field summaries, then files via partition tuples.
+        ``partition_filter``: {partition field name: exact value or
+        inclusive ``(lo, hi)`` range} — prunes manifests via field
+        summaries, then files via partition tuples. Ranges are only
+        meaningful for order-preserving transforms (identity, truncate,
+        temporal); bucket values are unordered, filter them exactly.
         ``bounds_filter``: {column: (lo, hi)} — prunes files via the
         per-column lower/upper bounds recorded at commit time.
 
@@ -1419,8 +1422,12 @@ class IcebergTable:
                     if want is None:
                         if not s["contains_null"]:
                             skip = True
-                    elif lo is not None and (want < lo or want > hi):
-                        skip = True
+                    elif lo is not None:
+                        w_lo, w_hi = (
+                            want if isinstance(want, tuple) else (want, want)
+                        )
+                        if w_hi < lo or w_lo > hi:
+                            skip = True
                 if skip:
                     continue
             stats["manifests_read"] += 1
@@ -1431,10 +1438,17 @@ class IcebergTable:
                 stats["files_total"] += 1
                 df_ = e["data_file"]
                 if partition_filter:
-                    if any(
-                        df_["partition"].get(col) != want
-                        for col, want in partition_filter.items()
-                    ):
+                    miss = False
+                    for col, want in partition_filter.items():
+                        v = df_["partition"].get(col)
+                        if isinstance(want, tuple):
+                            if v is None or v < want[0] or v > want[1]:
+                                miss = True
+                                break
+                        elif v != want:
+                            miss = True
+                            break
+                    if miss:
                         continue
                 if bounds_filter:
                     skip = False
@@ -1477,6 +1491,44 @@ class IcebergTable:
             snapshot_id, partition_filter, bounds_filter
         )
         return self._read_files(spark, files, delete_files=deletes)
+
+    def scan_range(
+        self,
+        spark: SparkSession,
+        column: str,
+        lo,
+        hi,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-exact range scan on a SOURCE column with automatic hidden-
+        partition pruning — the Iceberg scan-planning behavior that makes
+        time partitioning invisible to queries.
+
+        Every order-preserving partition transform over ``column``
+        (identity / truncate / year / month / day / hour — monotone maps,
+        so a value range maps to an ordinal range) is turned into a
+        partition-range filter; per-file column bounds prune within the
+        surviving partitions; and the exact predicate is re-applied to
+        the surviving rows, which Parquet additionally pushes to
+        row-group stats. A ``ts BETWEEN x AND y`` query on a
+        day-partitioned 100-TB table therefore opens only the matching
+        day directories without the caller ever naming ``ts_day``.
+        """
+        part_ranges: dict[str, tuple] = {}
+        for name, src, transform, src_type in self._partition_columns():
+            if src != column or transform.startswith("bucket["):
+                continue
+            part_ranges[name] = (
+                transform_value(lo, transform, src_type),
+                transform_value(hi, transform, src_type),
+            )
+        df = self.scan(
+            spark,
+            snapshot_id=snapshot_id,
+            partition_filter=part_ranges or None,
+            bounds_filter={column: (lo, hi)},
+        )
+        return df.filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
 
     def scan_incremental(
         self,

@@ -231,6 +231,46 @@ def test_day_partition_hidden_pruning(spark, tmp_path):
     assert isinstance(one["ts"], dt.datetime)
 
 
+def test_scan_range_hidden_partition_pruning(spark, tmp_path):
+    """A source-column time-range scan must prune through the hidden
+    day partitioning automatically (ordinal ranges derived from the
+    predicate), stay row-exact, and never require the caller to name
+    the derived partition field."""
+    import datetime as dt
+
+    events = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, events.schema, partition_by=[("ts", "day")])
+    t.append(events)
+    loaded = IcebergTable.load(loc)
+
+    days = sorted(
+        r["d"] for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 3
+    lo = dt.datetime(days[1].year, days[1].month, days[1].day)
+    hi = dt.datetime(days[2].year, days[2].month, days[2].day, 23, 59, 59)
+
+    ord_lo = transform_value(days[1], "day", "timestamptz")
+    ord_hi = transform_value(days[2], "day", "timestamptz")
+    _, stats = loaded.plan_files(partition_filter={"ts_day": (ord_lo, ord_hi)})
+    assert 0 < stats["files_selected"] < stats["files_total"]
+
+    got = loaded.scan_range(spark, "ts", lo, hi)
+    want = events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert got.count() == want.count() > 0
+    assert {r["event_id"] for r in got.collect()} == {
+        r["event_id"] for r in want.collect()
+    }
+    # range on an unpartitioned long column: bounds-only path, still exact
+    ids = loaded.scan_range(spark, "event_id", 10, 40)
+    assert ids.count() == events.filter("event_id between 10 and 40").count()
+
+
 def test_truncate_partition_point_lookup(spark, docs, tmp_path):
     t = _fresh_table(docs, tmp_path, [("doc_id", "truncate[100]")])
     t.append(docs)
