@@ -1559,25 +1559,44 @@ class IcebergTable:
             if to_snapshot_id is None
             else next(s for s in snaps if s["snapshot-id"] == to_snapshot_id)
         )
-        for s in snaps:
-            if from_seq < s["sequence-number"] <= to_snap["sequence-number"]:
-                if s["summary"].get("operation") != "append":
-                    raise ValueError(
-                        "incremental scan window crosses a "
-                        f"{s['summary'].get('operation')!r} snapshot"
-                    )
+        files = self.plan_incremental_files(from_seq, to_snap["sequence-number"])
+        return self._read_files(spark, files)
+
+    def plan_incremental_files(self, from_seq: int, to_seq: int) -> list[dict]:
+        """Data files appended with sequence number in ``(from_seq,
+        to_seq]`` — the file-planning half of ``scan_incremental``,
+        shared with the streaming source (whose offsets ARE sequence
+        numbers). Raises if the window crosses a non-append snapshot."""
+        snaps = self.metadata["snapshots"]
+        window = [s for s in snaps if from_seq < s["sequence-number"] <= to_seq]
+        if not window:
+            return []
+        for s in window:
+            if s["summary"].get("operation") != "append":
+                raise ValueError(
+                    "incremental scan window crosses a "
+                    f"{s['summary'].get('operation')!r} snapshot"
+                )
+        to_snap = max(window, key=lambda s: s["sequence-number"])
         manifests, _ = read_ocf(to_snap["manifest-list"])
         files = []
         for m in manifests:
             if m.get("content", 0) == 1:  # delete manifests carry no adds
                 continue
-            if not (from_seq < m["min_sequence_number"] <= to_snap["sequence-number"]):
+            if not (from_seq < m["min_sequence_number"] <= to_seq):
                 continue
             entries, _ = read_ocf(m["manifest_path"])
-            files.extend(
-                e["data_file"] for e in entries if e["status"] == 1  # ADDED
-            )
-        return self._read_files(spark, files)
+            for e in entries:
+                if e["status"] != 1:  # ADDED only
+                    continue
+                d = dict(e["data_file"])
+                d["_data_seq"] = (
+                    e["sequence_number"]
+                    if e["sequence_number"] is not None
+                    else m["sequence_number"]
+                )
+                files.append(d)
+        return files
 
     def _read_files(
         self,

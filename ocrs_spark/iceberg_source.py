@@ -1,0 +1,230 @@
+"""PySpark Python Data Source over ocrs_spark Iceberg tables.
+
+Registers format ``ocrs_iceberg`` (Spark 4 Python Data Source API), so
+the from-spec table layer plugs into the standard reader surfaces:
+
+    spark.dataSource.register(IcebergDataSource)
+    spark.read.format("ocrs_iceberg").load(location)           # batch
+    spark.readStream.format("ocrs_iceberg").load(location)     # changelog
+
+The STREAMING reader is the point: offsets are the table's snapshot
+sequence numbers, so Structured Streaming's own offset log drives
+``plan_incremental_files`` — each micro-batch reads exactly the data
+files appended since the last committed offset, planning cost
+proportional to new data, exactly-once by the engine's offset/commit
+protocol. Splits are one InputPartition per data file, read
+executor-side with pyarrow, so a backlog catch-up parallelizes across
+the cluster instead of bottlenecking on the driver.
+
+The BATCH reader exists for API parity and applies the same
+merge-on-read semantics as ``IcebergTable.scan`` per split (position
+deletes by (path, row index); equality deletes gated on data sequence
+numbers — the split-planning shape of Iceberg's DSv2 source, where each
+task receives its data file plus the delete files that may apply to
+it). For large batch scans prefer ``IcebergTable.scan``: it reads
+parquet on the JVM path with whole-stage codegen, while a Python data
+source necessarily crosses the Arrow boundary per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .iceberg import IcebergTable, _spark_ddl
+
+
+def _arrow_schema(spark_schema):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema, timestamp_utc=True)
+
+
+def _identity_parts(table: IcebergTable) -> list[tuple[str, str, str]]:
+    """[(partition field name, source column, source iceberg type)] for
+    identity transforms — the hive layout projects these out of the data
+    files, so the reader re-attaches them as per-split constants."""
+    return [
+        (name, src, src_type)
+        for name, src, transform, src_type in table._partition_columns()
+        if transform == "identity"
+    ]
+
+
+def _split_of(f: dict) -> dict:
+    return {
+        "path": f["file_path"],
+        "partition": dict(f.get("partition") or {}),
+        "seq": int(f.get("_data_seq", 0)),
+    }
+
+
+def _read_split(split: dict, identity, arrow_schema, pos_deletes, eq_deletes):
+    """Executor-side split read: parquet file -> arrow batches matching
+    the declared source schema, merge-on-read deletes applied."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(split["path"])
+
+    # position deletes: (file_path, pos) rows naming THIS file
+    if pos_deletes:
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        hit = False
+        for dpath in pos_deletes:
+            d = pq.read_table(dpath, columns=["file_path", "pos"])
+            mask = pc.equal(d.column("file_path"), split["path"])
+            pos = d.filter(mask).column("pos").to_numpy(zero_copy_only=False)
+            if len(pos):
+                keep[pos[pos < tbl.num_rows]] = False
+                hit = True
+        if hit:
+            tbl = tbl.filter(pa.array(keep))
+
+    # re-attach identity partition columns as constants, then align to
+    # the declared schema (schema evolution: older files lack added
+    # columns -> typed nulls; hive layout dropped identity sources)
+    names = set(tbl.schema.names)
+    arrays, fields = [], []
+    for field in arrow_schema:
+        if field.name in names:
+            arrays.append(tbl.column(field.name))
+        else:
+            const = None
+            for pname, src, _stype in identity:
+                if src == field.name:
+                    const = split["partition"].get(pname)
+            if const is not None:
+                arrays.append(pa.array([const] * tbl.num_rows).cast(field.type))
+            else:
+                arrays.append(pa.nulls(tbl.num_rows, type=field.type))
+        fields.append(field)
+    tbl = pa.table(dict(zip([f.name for f in fields], arrays)))
+
+    # equality deletes: key-match rows in files with LOWER data seq
+    for dpath, dseq, keys in eq_deletes:
+        if split["seq"] >= dseq or not keys:
+            continue
+        d = pq.read_table(dpath, columns=list(keys))
+        dead = set(zip(*[d.column(k).to_pylist() for k in keys]))
+        if not dead:
+            continue
+        rows = zip(*[tbl.column(k).to_pylist() for k in keys])
+        keep = pa.array([r not in dead for r in rows])
+        tbl = tbl.filter(keep)
+
+    tbl = tbl.cast(arrow_schema)
+    yield from tbl.to_batches()
+
+
+class IcebergBatchReader(DataSourceReader):
+    def __init__(self, location: str, spark_schema, snapshot_id: int | None):
+        table = IcebergTable.load(location)
+        files, deletes, _stats = table.plan_scan(snapshot_id=snapshot_id)
+        self._splits = [_split_of(f) for f in files]
+        self._identity = _identity_parts(table)
+        self._arrow_schema = _arrow_schema(spark_schema)
+        self._pos_deletes = [
+            d["file_path"] for d in deletes if d.get("content") == 1
+        ]
+        id_to_name = {f["id"]: f["name"] for f in table._schema()["fields"]}
+        self._eq_deletes = [
+            (
+                d["file_path"],
+                int(d["_data_seq"]),
+                tuple(id_to_name[i] for i in (d.get("equality_ids") or ())),
+            )
+            for d in deletes
+            if d.get("content") == 2
+        ]
+
+    def partitions(self):
+        return [InputPartition(s) for s in self._splits]
+
+    def read(self, partition):
+        yield from _read_split(
+            partition.value,
+            self._identity,
+            self._arrow_schema,
+            self._pos_deletes,
+            self._eq_deletes,
+        )
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    """Changelog micro-batch source: offset = last planned snapshot
+    sequence number. latestOffset reloads the table metadata (one JSON
+    read); partitions() plans only the files in (start, end]; the
+    engine's offset log + commit protocol make delivery exactly-once."""
+
+    def __init__(self, location: str, spark_schema, initial: str):
+        self._location = location
+        self._identity = _identity_parts(IcebergTable.load(location))
+        self._arrow_schema = _arrow_schema(spark_schema)
+        self._initial = initial  # "earliest" -> full backlog; "latest" -> new data only
+
+    def initialOffset(self) -> dict:
+        if self._initial == "latest":
+            t = IcebergTable.load(self._location)
+            return {"seq": int(t.metadata["last-sequence-number"])}
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        t = IcebergTable.load(self._location)
+        return {"seq": int(t.metadata["last-sequence-number"])}
+
+    def partitions(self, start: dict, end: dict):
+        t = IcebergTable.load(self._location)
+        files = t.plan_incremental_files(int(start["seq"]), int(end["seq"]))
+        if not files:
+            # the engine requires >=1 partition; emit one empty split
+            return [InputPartition(None)]
+        return [InputPartition(_split_of(f)) for f in files]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return _read_split(
+            partition.value, self._identity, self._arrow_schema, [], []
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the engine's offset/commit log
+
+
+class IcebergDataSource(DataSource):
+    """``format("ocrs_iceberg")``; options:
+
+    - ``path`` (via ``.load(location)``): table location
+    - ``snapshot_id`` (batch): time travel to a snapshot
+    - ``starting_position`` (stream): ``earliest`` (default, replay the
+      whole table as the first micro-batch) or ``latest`` (new commits
+      only)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ocrs_iceberg"
+
+    def schema(self) -> str:
+        table = IcebergTable.load(self.options["path"])
+        return _spark_ddl(table._schema(), table._partition_columns())
+
+    def reader(self, schema) -> DataSourceReader:
+        sid = self.options.get("snapshot_id")
+        return IcebergBatchReader(
+            self.options["path"], schema, int(sid) if sid is not None else None
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return IcebergStreamReader(
+            self.options["path"],
+            schema,
+            self.options.get("starting_position", "earliest"),
+        )

@@ -1,0 +1,145 @@
+"""Python Data Source (format "ocrs_iceberg") tests: batch reads with
+merge-on-read deletes, time travel, and the changelog streaming source
+driven by Structured Streaming's own offset log."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrs_spark.iceberg import IcebergTable
+from ocrs_spark.iceberg_source import IcebergDataSource
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    spark.dataSource.register(IcebergDataSource)
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_batch_read_matches_scan(spark, docs, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, docs.schema, partition_by=[("lang", "identity")])
+    t.append(docs)
+    got = spark.read.format("ocrs_iceberg").load(loc)
+    assert got.schema == spark.read.parquet(f"{SF}/documents.parquet").select(
+        *got.columns
+    ).schema
+    assert got.count() == docs.count()
+    # identity partition column re-attached per split
+    assert {r["lang"] for r in got.select("lang").distinct().collect()} == {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+    a = {tuple(r) for r in got.select("doc_id", "lang", "n_chars").collect()}
+    b = {tuple(r) for r in docs.select("doc_id", "lang", "n_chars").collect()}
+    assert a == b
+
+
+def test_batch_read_applies_row_level_deletes(spark, docs, tmp_path):
+    """Position deletes (delete_where) and equality deletes (upsert)
+    must be applied per split, matching the JVM-path scan exactly."""
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, docs.schema)
+    t.append(docs)
+    t = IcebergTable.load(loc)
+    t.delete_where(spark, "doc_id % 10 = 3")
+    t = IcebergTable.load(loc)
+    src = docs.filter("doc_id % 10 = 4").withColumn(
+        "text", F.concat(F.lit("UPD:"), F.col("text"))
+    )
+    t.upsert(spark, src, ["doc_id"])
+    t = IcebergTable.load(loc)
+
+    got = spark.read.format("ocrs_iceberg").load(loc)
+    want = t.scan(spark)
+    assert got.count() == want.count()
+    assert got.filter("doc_id % 10 = 3").count() == 0
+    assert got.filter("text like 'UPD:%'").count() == docs.filter(
+        "doc_id % 10 = 4"
+    ).count()
+    a = {tuple(r) for r in got.select("doc_id", "text").collect()}
+    b = {tuple(r) for r in want.select("doc_id", "text").collect()}
+    assert a == b
+
+
+def test_batch_read_time_travel(spark, docs, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, docs.schema)
+    first = t.append(docs.filter("doc_id < 100"))
+    t = IcebergTable.load(loc)
+    t.append(docs.filter("doc_id >= 100"))
+    got = (
+        spark.read.format("ocrs_iceberg")
+        .option("snapshot_id", str(first))
+        .load(loc)
+    )
+    assert got.count() == docs.filter("doc_id < 100").count()
+
+
+def test_stream_changelog_incremental_exactly_once(spark, docs, tmp_path):
+    """Offsets are snapshot sequence numbers: each availableNow run
+    drains exactly the snapshots committed since the checkpoint's last
+    offset; a no-op restart reads nothing."""
+    loc = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    h1 = docs.filter("doc_id % 2 = 0")
+    h2 = docs.filter("doc_id % 2 = 1")
+    t = IcebergTable.create(loc, docs.schema)
+    t.append(h1)
+
+    def run():
+        q = (
+            spark.readStream.format("ocrs_iceberg")
+            .load(loc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    assert spark.read.parquet(out).count() == h1.count()
+    IcebergTable.load(loc).append(h2)
+    run()
+    result = spark.read.parquet(out)
+    assert result.count() == docs.count()
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
+    run()  # nothing new committed -> nothing read
+    assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_stream_starting_position_latest(spark, docs, tmp_path):
+    """starting_position=latest skips the existing backlog and streams
+    only snapshots committed after the stream initialized."""
+    loc = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    old = docs.filter("doc_id < 250")
+    new = docs.filter("doc_id >= 250")
+    t = IcebergTable.create(loc, docs.schema)
+    t.append(old)
+
+    def run():
+        q = (
+            spark.readStream.format("ocrs_iceberg")
+            .option("starting_position", "latest")
+            .load(loc)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    IcebergTable.load(loc).append(new)
+    run()
+    result = spark.read.parquet(out)
+    assert result.count() == new.count()
+    assert result.filter("doc_id < 250").count() == 0
