@@ -212,14 +212,30 @@ def stream_ocr_to_iceberg(
     kill mid-commit leaves the previous snapshot live and the epoch
     uncommitted on both sides.
     """
+    engine_conf = engine_conf or {"kind": "fake"}
+    schema = spark.read.parquet(documents_dir).schema
+    stream = spark.readStream.schema(schema).parquet(documents_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            _ocr_epoch_sink(media, checkpoint_dir, table_location, engine_conf)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(900):
+        q.stop()
+        raise TimeoutError("stream_ocr_to_iceberg: backlog not drained in 900s")
+
+
+def _ocr_epoch_sink(media: DataFrame, checkpoint_dir: str, table_location: str, engine_conf: dict):
+    """foreachBatch function: OCR the micro-batch and commit it to the
+    Iceberg table with an epoch stamp, skipping replayed epochs (see
+    ``stream_ocr_to_iceberg``)."""
     import json
     import os
 
     from .iceberg import IcebergTable
-
-    engine_conf = engine_conf or {"kind": "fake"}
-    schema = spark.read.parquet(documents_dir).schema
-    stream = spark.readStream.schema(schema).parquet(documents_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Spark writes the query id to the checkpoint before the first
@@ -243,12 +259,45 @@ def stream_ocr_to_iceberg(
             },
         )
 
+    return process_batch
+
+
+def stream_ocr_iceberg_to_iceberg(
+    spark: SparkSession,
+    source_location: str,
+    media: DataFrame,
+    checkpoint_dir: str,
+    sink_location: str,
+    engine_conf: dict | None = None,
+) -> None:
+    """The full incremental extraction loop on Iceberg at BOTH ends —
+    the north-star deployment shape.
+
+    Source: the ``ocrs_iceberg`` streaming data source over the
+    documents table — offsets are snapshot sequence numbers, so each
+    micro-batch plans and reads exactly the documents appended since
+    the last committed offset (planning cost proportional to new data;
+    one executor-side split per new file). Transform: the unchanged
+    batch OCR pipeline (explode -> dedup media -> skew repartition ->
+    fused mapInPandas -> reweave). Sink: an epoch-stamped Iceberg
+    append (``stream_ocr_to_iceberg`` semantics), so a crash in the
+    commit window replays without duplicating. End to end: new
+    documents land in the source table, one micro-batch later their
+    extracted spans are a committed snapshot of the results table,
+    exactly once, resumable from the checkpoint alone.
+    """
+    from .iceberg_source import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    stream = spark.readStream.format("ocrs_iceberg").load(source_location)
     q = (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(
+            _ocr_epoch_sink(media, checkpoint_dir, sink_location, engine_conf or {"kind": "fake"})
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     if not q.awaitTermination(900):
         q.stop()
-        raise TimeoutError("stream_ocr_to_iceberg: backlog not drained in 900s")
+        raise TimeoutError("stream_ocr_iceberg_to_iceberg: backlog not drained in 900s")

@@ -184,6 +184,50 @@ def test_stream_ocr_iceberg_crash_replay_skips_committed_epoch(spark, tmp_path):
     }) == 2
 
 
+def test_stream_ocr_iceberg_to_iceberg_end_to_end(spark, tmp_path):
+    """The full loop on Iceberg at both ends: documents stream out of
+    the source table by snapshot sequence number, are OCR'd by the
+    batch pipeline, and land as epoch-stamped snapshots of the results
+    table — incremental across restarts, span-exact, duplicate-free."""
+    from ocrs_spark.iceberg import IcebergTable
+    from ocrs_spark.streaming import stream_ocr_iceberg_to_iceberg
+
+    corpus = generate_corpus(n_docs=8, seed=21)
+    docs, media, expected = corpus_to_spark(spark, corpus)
+    src_loc = str(tmp_path / "src")
+    sink_loc = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    half2 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    src = IcebergTable.create(src_loc, docs.schema)
+    src.append(half1)
+
+    stream_ocr_iceberg_to_iceberg(spark, src_loc, media, ckpt, sink_loc)
+    assert IcebergTable.load(sink_loc).scan(spark).count() == half1.count()
+
+    IcebergTable.load(src_loc).append(half2)
+    stream_ocr_iceberg_to_iceberg(spark, src_loc, media, ckpt, sink_loc)
+    result = IcebergTable.load(sink_loc).scan(spark)
+    assert result.count() == docs.count()
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+    woven = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in result.collect()
+    }
+    want = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in expected.collect()
+    }
+    assert woven == want
+
+    # idle restart: no new source snapshots -> no new sink snapshots
+    n = len(IcebergTable.load(sink_loc).snapshots())
+    stream_ocr_iceberg_to_iceberg(spark, src_loc, media, ckpt, sink_loc)
+    assert len(IcebergTable.load(sink_loc).snapshots()) == n
+
+
 def test_stream_ocr_replay_is_idempotent(spark, tmp_path):
     """A lost streaming checkpoint replays every batch; the per-batch_id
     overwrite sink must absorb the replay without duplicating rows
