@@ -542,6 +542,7 @@ class IcebergTable:
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {"write.format.default": "parquet"},
             "current-snapshot-id": -1,
+            "refs": {},
             "snapshots": [],
             "snapshot-log": [],
             "metadata-log": [],
@@ -904,8 +905,58 @@ class IcebergTable:
         self.metadata["current-snapshot-id"] = snapshot_id
         self.metadata["last-sequence-number"] = seq
         self.metadata["last-updated-ms"] = now
+        # spec: the main branch ref tracks the current snapshot
+        self.metadata.setdefault("refs", {})["main"] = {
+            "snapshot-id": snapshot_id,
+            "type": "branch",
+        }
         self._commit_metadata()
         return snapshot_id
+
+    # -- refs (tags / branches) ----------------------------------------------
+
+    def create_ref(
+        self, name: str, snapshot_id: int | None = None, ref_type: str = "tag"
+    ) -> int:
+        """Name a snapshot (format v2 ``refs`` map). Tags are the
+        dataset-release primitive: ``create_ref("train-v3")`` pins the
+        exact table state a model was trained on, keeps it readable via
+        ``scan(ref=...)`` forever (snapshot expiry never drops a
+        ref-reachable snapshot), and costs one metadata commit — no
+        data is copied at any scale."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref type must be 'tag' or 'branch', got {ref_type!r}")
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is None:
+            raise ValueError("cannot create a ref on an empty table")
+        if not any(s["snapshot-id"] == sid for s in self.metadata["snapshots"]):
+            raise ValueError(f"unknown snapshot id {sid}")
+        self.metadata.setdefault("refs", {})[name] = {
+            "snapshot-id": sid,
+            "type": ref_type,
+        }
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata()
+        return sid
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        refs = self.metadata.get("refs", {})
+        if name not in refs:
+            raise KeyError(name)
+        del refs[name]
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata()
+
+    def refs(self) -> dict[str, dict]:
+        return dict(self.metadata.get("refs", {}))
+
+    def snapshot_for_ref(self, name: str) -> int:
+        try:
+            return self.metadata.get("refs", {})[name]["snapshot-id"]
+        except KeyError:
+            raise KeyError(f"unknown ref {name!r}") from None
 
     # -- maintenance ----------------------------------------------------------
 
@@ -1142,12 +1193,22 @@ class IcebergTable:
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the last ``keep_last`` snapshots and physically
         delete files only they referenced (manifest lists, manifests,
-        data files). Returns {snapshots_removed, files_deleted}."""
+        data files). Snapshots named by a ref (tag or branch) are never
+        expired — a pinned dataset release stays readable. Returns
+        {snapshots_removed, files_deleted}."""
         snaps = self.metadata["snapshots"]
         if len(snaps) <= keep_last:
             return {"snapshots_removed": 0, "files_deleted": 0}
-        keep = snaps[-keep_last:]
-        drop = snaps[:-keep_last]
+        pinned = {r["snapshot-id"] for r in self.metadata.get("refs", {}).values()}
+        keep = [
+            s
+            for i, s in enumerate(snaps)
+            if i >= len(snaps) - keep_last or s["snapshot-id"] in pinned
+        ]
+        keep_set = {s["snapshot-id"] for s in keep}
+        drop = [s for s in snaps if s["snapshot-id"] not in keep_set]
+        if not drop:
+            return {"snapshots_removed": 0, "files_deleted": 0}
 
         def reachable(snapshots):
             paths = set()
@@ -1484,9 +1545,15 @@ class IcebergTable:
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
         bounds_filter: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Read the table (optionally time-travelled / pruned) as a
-        DataFrame, merge-on-read applying any row-level delete files."""
+        """Read the table (optionally time-travelled / pruned / at a
+        named ref) as a DataFrame, merge-on-read applying any row-level
+        delete files."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            snapshot_id = self.snapshot_for_ref(ref)
         files, deletes, _stats = self.plan_scan(
             snapshot_id, partition_filter, bounds_filter
         )

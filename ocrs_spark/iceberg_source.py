@@ -203,6 +203,7 @@ class IcebergDataSource(DataSource):
 
     - ``path`` (via ``.load(location)``): table location
     - ``snapshot_id`` (batch): time travel to a snapshot
+    - ``ref`` (batch): read a named tag/branch (dataset release)
     - ``starting_position`` (stream): ``earliest`` (default, replay the
       whole table as the first micro-batch) or ``latest`` (new commits
       only)
@@ -218,6 +219,11 @@ class IcebergDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         sid = self.options.get("snapshot_id")
+        ref = self.options.get("ref")
+        if ref is not None:
+            if sid is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            sid = IcebergTable.load(self.options["path"]).snapshot_for_ref(ref)
         return IcebergBatchReader(
             self.options["path"], schema, int(sid) if sid is not None else None
         )

@@ -306,6 +306,49 @@ def test_null_partition_values(spark, docs, tmp_path):
 # -- commit protocol ----------------------------------------------------------
 
 
+def test_refs_tag_pin_and_expiry_survival(spark, docs, tmp_path):
+    """Tags pin a dataset release: readable by name, immune to snapshot
+    expiry, one metadata commit; main tracks the head."""
+    t = _fresh_table(docs, tmp_path, None)
+    t.append(docs.filter("doc_id < 100"))
+    t = IcebergTable.load(t.location)
+    t.create_ref("train-v1")
+    first_count = docs.filter("doc_id < 100").count()
+    t = IcebergTable.load(t.location)
+    t.append(docs.filter("doc_id >= 100 and doc_id < 200"))
+    t = IcebergTable.load(t.location)
+    t.append(docs.filter("doc_id >= 200"))
+    t = IcebergTable.load(t.location)
+
+    assert t.refs()["main"]["snapshot-id"] == t.current_snapshot_id()
+    assert t.scan(spark, ref="train-v1").count() == first_count
+    assert t.scan(spark).count() == docs.count()
+
+    # expiry keeps the tagged snapshot alive alongside the head
+    out = t.expire_snapshots(keep_last=1)
+    assert out["snapshots_removed"] == 1  # only the untagged middle one
+    t = IcebergTable.load(t.location)
+    assert t.scan(spark, ref="train-v1").count() == first_count
+    assert t.scan(spark).count() == docs.count()
+
+    # data source reads the tag by name
+    from ocrs_spark.iceberg_source import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    via_source = (
+        spark.read.format("ocrs_iceberg").option("ref", "train-v1").load(t.location)
+    )
+    assert via_source.count() == first_count
+
+    t.drop_ref("train-v1")
+    t = IcebergTable.load(t.location)
+    assert "train-v1" not in t.refs()
+    with pytest.raises(KeyError):
+        t.snapshot_for_ref("train-v1")
+    with pytest.raises(ValueError):
+        t.drop_ref("main")
+
+
 def test_commit_cas_survives_version_race(spark, docs, tmp_path):
     t = _fresh_table(docs, tmp_path, None)
     t.append(docs.limit(10))
