@@ -657,7 +657,12 @@ class IcebergTable:
 
     # -- append --------------------------------------------------------------
 
-    def append(self, df: DataFrame, extra_summary: dict | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        extra_summary: dict | None = None,
+        distribution: str = "hash",
+    ) -> int:
         """Append a DataFrame as a new snapshot; returns the snapshot id.
 
         Data files are written by Spark (hive-layout per partition tuple);
@@ -666,10 +671,21 @@ class IcebergTable:
         writer's tasks report back to its driver. ``extra_summary``
         key/values land in the snapshot summary (e.g. a streaming sink's
         batch id for replay idempotence).
+
+        ``distribution`` is Iceberg's write.distribution-mode for
+        partitioned tables: ``"hash"`` (default) shuffles rows by
+        partition tuple so each partition is written by one task —
+        without it every task writes a file into every partition it
+        sees, tasks x partitions small files at scale. Pass ``"none"``
+        to skip the shuffle (e.g. input already clustered, or one
+        partition so hot that spreading it across tasks beats file
+        count).
         """
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         seq = self.metadata["last-sequence-number"] + 1
-        manifest = self._write_data_manifest(df, snapshot_id, seq)
+        manifest = self._write_data_manifest(
+            df, snapshot_id, seq, distribution=distribution
+        )
         return self._commit_manifests(
             [manifest],
             operation="append",
@@ -683,7 +699,9 @@ class IcebergTable:
             carry="all",
         )
 
-    def _write_data_manifest(self, df: DataFrame, snapshot_id: int, seq: int) -> dict:
+    def _write_data_manifest(
+        self, df: DataFrame, snapshot_id: int, seq: int, distribution: str = "hash"
+    ) -> dict:
         """Write ``df`` as parquet data files plus one data manifest;
         returns the manifest-list entry dict (not yet committed)."""
         import pyarrow.parquet as pq
@@ -699,6 +717,11 @@ class IcebergTable:
                     name, partition_transform_column(src, src_type, transform)
                 )
             part_names.append(name)
+        if part_names and distribution == "hash":
+            # write.distribution-mode=hash: cluster rows by partition
+            # tuple so each partition value is written by exactly one
+            # task (bounded file counts; see ``append``)
+            out = out.repartition(*part_names)
         writer = out.write.mode("append")
         if part_names:
             writer = writer.partitionBy(*part_names)
@@ -887,13 +910,30 @@ class IcebergTable:
             },
         )
 
+        # spec summary totals: live data-file records across the whole
+        # snapshot (added + existing per manifest; deleted entries are
+        # not live). Like Iceberg's, total-records counts data-file rows
+        # before merge-on-read delete application.
+        data_manifests = [m for m in manifests if m.get("content", 0) == 0]
+        del_manifests = [m for m in manifests if m.get("content", 0) == 1]
+        totals = {
+            "total-data-files": str(
+                sum(m["added_files_count"] + m["existing_files_count"] for m in data_manifests)
+            ),
+            "total-records": str(
+                sum(m["added_rows_count"] + m["existing_rows_count"] for m in data_manifests)
+            ),
+            "total-delete-files": str(
+                sum(m["added_files_count"] + m["existing_files_count"] for m in del_manifests)
+            ),
+        }
         now = int(time.time() * 1000)
         snapshot = {
             "snapshot-id": snapshot_id,
             "sequence-number": seq,
             "timestamp-ms": now,
             "manifest-list": mlist_path,
-            "summary": {"operation": operation, **summary},
+            "summary": {"operation": operation, **totals, **summary},
             "schema-id": self.metadata["current-schema-id"],
         }
         if prev is not None:

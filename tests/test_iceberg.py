@@ -306,6 +306,29 @@ def test_null_partition_values(spark, docs, tmp_path):
 # -- commit protocol ----------------------------------------------------------
 
 
+def test_hash_distribution_bounds_file_count(spark, docs, tmp_path):
+    """write.distribution-mode=hash: an input spread over many Spark
+    partitions still writes exactly one file per partition value (not
+    tasks x partitions small files); distribution='none' skips the
+    shuffle. Summary totals accumulate across snapshots."""
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    n_langs = docs.select("lang").distinct().count()
+    t.append(docs.repartition(16))  # default hash distribution
+    loaded = IcebergTable.load(t.location)
+    _, stats = loaded.plan_files()
+    assert stats["files_total"] == n_langs
+
+    loaded.append(docs.repartition(16), distribution="none")
+    loaded = IcebergTable.load(t.location)
+    _, stats2 = loaded.plan_files()
+    assert stats2["files_total"] > 2 * n_langs  # unclustered: many files
+
+    snap = loaded.snapshots()[-1]["summary"]
+    assert int(snap["total-records"]) == 2 * docs.count()
+    assert int(snap["total-data-files"]) == stats2["files_total"]
+    assert loaded.scan(spark).count() == 2 * docs.count()
+
+
 def test_refs_tag_pin_and_expiry_survival(spark, docs, tmp_path):
     """Tags pin a dataset release: readable by name, immune to snapshot
     expiry, one metadata commit; main tracks the head."""
