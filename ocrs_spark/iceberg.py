@@ -584,8 +584,8 @@ class IcebergTable:
         sid = self.metadata["current-schema-id"]
         return next(s for s in self.metadata["schemas"] if s["schema-id"] == sid)
 
-    def _spec(self) -> dict:
-        sid = self.metadata["default-spec-id"]
+    def _spec(self, spec_id: int | None = None) -> dict:
+        sid = spec_id if spec_id is not None else self.metadata["default-spec-id"]
         return next(
             s for s in self.metadata["partition-specs"] if s["spec-id"] == sid
         )
@@ -593,13 +593,84 @@ class IcebergTable:
     def _field_by_id(self, fid: int) -> dict:
         return next(f for f in self._schema()["fields"] if f["id"] == fid)
 
-    def _partition_columns(self) -> list[tuple[str, str, str, str]]:
-        """[(partition name, source column, transform, source iceberg type)]"""
+    def _partition_columns(
+        self, spec_id: int | None = None
+    ) -> list[tuple[str, str, str, str]]:
+        """[(partition name, source column, transform, source iceberg type)]
+        for the default spec, or for ``spec_id`` (older manifests are
+        interpreted under the spec they were written with)."""
         out = []
-        for pf in self._spec()["fields"]:
+        for pf in self._spec(spec_id)["fields"]:
             src = self._field_by_id(pf["source-id"])
             out.append((pf["name"], src["name"], pf["transform"], src["type"]))
         return out
+
+    # -- partition spec evolution --------------------------------------------
+
+    def add_partition_field(
+        self, column: str, transform: str = "identity", name: str | None = None
+    ) -> int:
+        """Partition spec evolution: future writes partition by the new
+        field; NOTHING is rewritten. Existing manifests keep their
+        original spec-id and are interpreted under it at plan time
+        (filters on the new field simply cannot prune pre-evolution
+        files), so a table can start unpartitioned at small scale and
+        add day(ts) when it grows — the standard Iceberg lifecycle.
+        ``compact()`` rewrites live data under the current spec when
+        full pruning of history is wanted. Returns the new spec id."""
+        src = next(
+            (f for f in self._schema()["fields"] if f["name"] == column), None
+        )
+        if src is None:
+            raise ValueError(f"unknown column {column!r}")
+        transform_result_type(transform, src["type"])  # validates the pair
+        spec = self._spec()
+        if name is None:
+            name = (
+                column
+                if transform == "identity"
+                else f"{column}_{transform.split('[')[0]}"
+            )
+        if any(f["name"] == name for f in spec["fields"]):
+            raise ValueError(f"partition field {name!r} already exists")
+        new_fid = self.metadata["last-partition-id"] + 1
+        new_sid = max(s["spec-id"] for s in self.metadata["partition-specs"]) + 1
+        new_spec = {
+            "spec-id": new_sid,
+            "fields": list(spec["fields"])
+            + [
+                {
+                    "name": name,
+                    "transform": transform,
+                    "source-id": src["id"],
+                    "field-id": new_fid,
+                }
+            ],
+        }
+        self.metadata["partition-specs"].append(new_spec)
+        self.metadata["default-spec-id"] = new_sid
+        self.metadata["last-partition-id"] = new_fid
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata()
+        return new_sid
+
+    def remove_partition_field(self, name: str) -> int:
+        """Drop a partition field from future writes (new spec-id; the
+        field keeps its id in older specs, per the spec's evolution
+        rules). Returns the new spec id."""
+        spec = self._spec()
+        if not any(f["name"] == name for f in spec["fields"]):
+            raise ValueError(f"unknown partition field {name!r}")
+        new_sid = max(s["spec-id"] for s in self.metadata["partition-specs"]) + 1
+        new_spec = {
+            "spec-id": new_sid,
+            "fields": [f for f in spec["fields"] if f["name"] != name],
+        }
+        self.metadata["partition-specs"].append(new_spec)
+        self.metadata["default-spec-id"] = new_sid
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata()
+        return new_sid
 
     def snapshots(self) -> list[dict]:
         return list(self.metadata["snapshots"])
@@ -1034,7 +1105,12 @@ class IcebergTable:
         kept = []
         for f in keep:
             if all(
-                f["partition"].get(col) == want
+                # field must EXIST in the file's spec and match: a
+                # pre-evolution file may contain matching rows, but a
+                # file-granular delete must never drop it (and a None
+                # filter must not conflate "null partition" with
+                # "field absent")
+                col in f["partition"] and f["partition"][col] == want
                 for col, want in partition_filter.items()
             ):
                 dropped.append(f)
@@ -1345,22 +1421,25 @@ class IcebergTable:
     def _commit_file_set(
         self, kept: list[dict], dropped: list[dict], operation: str
     ) -> int:
-        """Commit a snapshot from explicit keep/drop file lists."""
-        parts = self._partition_columns()
+        """Commit a snapshot from explicit keep/drop file lists.
+
+        Manifests are single-spec (spec rule); under partition evolution
+        the file set can mix specs, so files are grouped by the field
+        set of their partition tuple and one manifest is written per
+        matching spec — each readable under its own spec-id, exactly
+        like the originals."""
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         seq = self.metadata["last-sequence-number"] + 1
-        write_id = _uuid.uuid4().hex
-        partition_avro_fields = [
-            {
-                "name": name,
-                "type": _opt(
-                    _ICEBERG_TO_AVRO[transform_result_type(transform, src_type)]
-                ),
-                "field-id": 1000 + i,
-                "default": None,
-            }
-            for i, (name, _src, transform, src_type) in enumerate(parts)
-        ]
+
+        def spec_for(keyset: frozenset) -> dict:
+            default = self._spec()
+            if {f["name"] for f in default["fields"]} == set(keyset):
+                return default
+            for spec in self.metadata["partition-specs"]:
+                if {f["name"] for f in spec["fields"]} == set(keyset):
+                    return spec
+            return default
+
         def _entry(status: int, f: dict) -> dict:
             f = dict(f)
             # plan_files attaches the file's effective data sequence
@@ -1376,50 +1455,85 @@ class IcebergTable:
                 "data_file": f,
             }
 
-        entries = [_entry(0, f) for f in kept] + [_entry(2, f) for f in dropped]
-        manifest_path = f"{self.location}/metadata/{write_id}-m0.avro"
-        spec = self._spec()
-        write_ocf(
-            manifest_path,
-            _manifest_entry_schema(partition_avro_fields),
-            entries,
-            metadata={
-                "schema": json.dumps(self._schema()),
-                "schema-id": str(self.metadata["current-schema-id"]),
-                "partition-spec": json.dumps(spec["fields"]),
-                "partition-spec-id": str(spec["spec-id"]),
-                "format-version": "2",
-                "content": "data",
-            },
-        )
-        kept_seqs = [
-            e["sequence_number"] for e in entries if e["sequence_number"] is not None
-        ]
-        manifest = {
-            "manifest_path": manifest_path,
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": spec["spec-id"],
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": min(kept_seqs + [seq]),
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": 0,
-            "existing_files_count": len(kept),
-            "deleted_files_count": len(dropped),
-            "added_rows_count": 0,
-            "existing_rows_count": sum(
-                e["data_file"]["record_count"] for e in entries if e["status"] == 0
-            ),
-            "deleted_rows_count": sum(
-                e["data_file"]["record_count"] for e in entries if e["status"] == 2
-            ),
-            "partitions": None,
-            "key_metadata": None,
-        }
+        groups: dict[frozenset, list[dict]] = {}
+        for status, files in ((0, kept), (2, dropped)):
+            for f in files:
+                key = frozenset((f.get("partition") or {}).keys())
+                groups.setdefault(key, []).append(_entry(status, f))
+
+        manifests = []
+        for gi, (keyset, entries) in enumerate(
+            sorted(groups.items(), key=lambda kv: repr(sorted(kv[0])))
+        ):
+            spec = spec_for(keyset)
+            sparts = self._partition_columns(spec["spec-id"])
+            partition_avro_fields = [
+                {
+                    "name": name,
+                    "type": _opt(
+                        _ICEBERG_TO_AVRO[transform_result_type(transform, src_type)]
+                    ),
+                    "field-id": 1000 + i,
+                    "default": None,
+                }
+                for i, (name, _src, transform, src_type) in enumerate(sparts)
+            ]
+            manifest_path = (
+                f"{self.location}/metadata/{_uuid.uuid4().hex}-m{gi}.avro"
+            )
+            write_ocf(
+                manifest_path,
+                _manifest_entry_schema(partition_avro_fields),
+                entries,
+                metadata={
+                    "schema": json.dumps(self._schema()),
+                    "schema-id": str(self.metadata["current-schema-id"]),
+                    "partition-spec": json.dumps(spec["fields"]),
+                    "partition-spec-id": str(spec["spec-id"]),
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            kept_seqs = [
+                e["sequence_number"]
+                for e in entries
+                if e["sequence_number"] is not None
+            ]
+            manifests.append(
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": spec["spec-id"],
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(kept_seqs + [seq]),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": 0,
+                    "existing_files_count": sum(
+                        1 for e in entries if e["status"] == 0
+                    ),
+                    "deleted_files_count": sum(
+                        1 for e in entries if e["status"] == 2
+                    ),
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in entries
+                        if e["status"] == 0
+                    ),
+                    "deleted_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in entries
+                        if e["status"] == 2
+                    ),
+                    "partitions": None,
+                    "key_metadata": None,
+                }
+            )
         # carry delete manifests forward: a file-granular data rewrite
         # must not drop row-level deletes pending against kept files
         return self._commit_manifests(
-            [manifest],
+            manifests,
             operation=operation,
             summary={"deleted-data-files": str(len(dropped))},
             snapshot_id=snapshot_id,
@@ -1479,12 +1593,28 @@ class IcebergTable:
             s for s in self.metadata["snapshots"] if s["snapshot-id"] == sid
         )
         manifests, _ = read_ocf(snap["manifest-list"])
-        parts = self._partition_columns()
-        part_index = {name: i for i, (name, *_rest) in enumerate(parts)}
-        part_bound_type = {
-            name: transform_result_type(transform, src_type)
-            for name, _src, transform, src_type in parts
-        }
+
+        # manifests are interpreted under the spec they were written
+        # with (partition spec evolution): field order and bound types
+        # come from the manifest's own spec-id
+        default_sid = self.metadata["default-spec-id"]
+        spec_cache: dict[int, tuple[dict, dict]] = {}
+
+        def spec_views(spec_id: int) -> tuple[dict, dict]:
+            if spec_id not in spec_cache:
+                try:
+                    sparts = self._partition_columns(spec_id)
+                except StopIteration:
+                    sparts = self._partition_columns()
+                spec_cache[spec_id] = (
+                    {name: i for i, (name, *_r) in enumerate(sparts)},
+                    {
+                        name: transform_result_type(transform, src_type)
+                        for name, _src, transform, src_type in sparts
+                    },
+                )
+            return spec_cache[spec_id]
+
         stats = {
             "manifests_total": len(manifests),
             "manifests_read": 0,
@@ -1510,6 +1640,9 @@ class IcebergTable:
                     delete_files.append(d)
                     stats["delete_files_selected"] += 1
                 continue
+            part_index, part_bound_type = spec_views(
+                m.get("partition_spec_id", default_sid)
+            )
             if partition_filter and m.get("partitions"):
                 skip = False
                 for col, want in partition_filter.items():
@@ -1541,6 +1674,10 @@ class IcebergTable:
                 if partition_filter:
                     miss = False
                     for col, want in partition_filter.items():
+                        if col not in part_index:
+                            # pre-evolution file: the field does not
+                            # exist in its spec, so it cannot prune
+                            continue
                         v = df_["partition"].get(col)
                         if isinstance(want, tuple):
                             if v is None or v < want[0] or v > want[1]:
@@ -1737,9 +1874,14 @@ class IcebergTable:
                 spark_schema += ", _file string, _pos bigint, _seq bigint"
             return spark.createDataFrame([], spark_schema)
         parts = self._partition_columns()
-        identity = [
-            (name, src) for name, src, transform, _t in parts if transform == "identity"
-        ]
+        # identity mappings from EVERY spec (partition evolution: a file
+        # group re-attaches the identity fields of the spec it was
+        # written under — its own tuple keys say which)
+        identity = {}
+        for spec in self.metadata["partition-specs"]:
+            for pf in spec["fields"]:
+                if pf["transform"] == "identity":
+                    identity[pf["name"]] = self._field_by_id(pf["source-id"])["name"]
         hidden = {
             name for name, _src, transform, _t in parts if not transform == "identity"
         }
@@ -1764,7 +1906,12 @@ class IcebergTable:
             # takes one arbitrary footer's schema and silently drops the
             # added column from newer files
             df = spark.read.option("mergeSchema", "true").parquet(*paths)
-            for name, src in identity:
+            for name, src in identity.items():
+                if name not in part or src in df.columns:
+                    # field absent from this group's spec, or the source
+                    # column is physically present (written before the
+                    # field was added) — nothing to re-attach
+                    continue
                 cast_to = scalar_types.get(src, "string").replace(
                     "timestamptz", "timestamp"
                 ).replace("long", "bigint")

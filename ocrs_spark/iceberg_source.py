@@ -46,13 +46,19 @@ def _arrow_schema(spark_schema):
 
 def _identity_parts(table: IcebergTable) -> list[tuple[str, str, str]]:
     """[(partition field name, source column, source iceberg type)] for
-    identity transforms — the hive layout projects these out of the data
-    files, so the reader re-attaches them as per-split constants."""
-    return [
-        (name, src, src_type)
-        for name, src, transform, src_type in table._partition_columns()
-        if transform == "identity"
-    ]
+    identity transforms across EVERY spec (partition evolution) — the
+    hive layout projects these out of the data files, so the reader
+    re-attaches them as per-split constants when the split's partition
+    tuple carries the field."""
+    by_id = {f["id"]: f for f in table._schema()["fields"]}
+    seen, out = set(), []
+    for spec in table.metadata["partition-specs"]:
+        for pf in spec["fields"]:
+            if pf["transform"] == "identity" and pf["name"] not in seen:
+                src = by_id[pf["source-id"]]
+                seen.add(pf["name"])
+                out.append((pf["name"], src["name"], src["type"]))
+    return out
 
 
 def _split_of(f: dict) -> dict:

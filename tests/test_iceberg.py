@@ -306,6 +306,106 @@ def test_null_partition_values(spark, docs, tmp_path):
 # -- commit protocol ----------------------------------------------------------
 
 
+def test_partition_spec_evolution_day_field(spark, tmp_path):
+    """Start unpartitioned, add day(ts) later: nothing rewritten, old
+    manifests keep their spec, new writes land in day directories;
+    filters on the new field prune only post-evolution files and scans
+    stay row-exact across the spec boundary."""
+    import datetime as dt
+
+    events = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    old = events.filter("event_id % 2 = 0")
+    new = events.filter("event_id % 2 = 1")
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, events.schema)  # unpartitioned
+    t.append(old)
+    t = IcebergTable.load(loc)
+    sid = t.add_partition_field("ts", "day")
+    assert t.metadata["default-spec-id"] == sid
+    t.append(new)
+    t = IcebergTable.load(loc)
+
+    assert t.scan(spark).count() == events.count()
+
+    some_day = new.select(F.to_date("ts").alias("d")).first()["d"]
+    ordinal = transform_value(some_day, "day", "timestamptz")
+    files, stats = t.plan_files(partition_filter={"ts_day": ordinal})
+    # pre-evolution files cannot prune (all kept); post-evolution files
+    # prune to the one day
+    n_old_files = t.plan_files()[1]["files_total"] - sum(
+        1 for f in t.plan_files()[0] if "ts_day" in f["partition"]
+    )
+    assert stats["files_selected"] < stats["files_total"]
+    assert stats["files_selected"] >= n_old_files
+
+    # row-exact range scan across the spec boundary
+    lo = dt.datetime(some_day.year, some_day.month, some_day.day)
+    hi = lo + dt.timedelta(days=1) - dt.timedelta(seconds=1)
+    got = t.scan_range(spark, "ts", lo, hi)
+    want = events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert got.count() == want.count() > 0
+    assert {r["event_id"] for r in got.collect()} == {
+        r["event_id"] for r in want.collect()
+    }
+
+
+def test_partition_spec_evolution_identity_and_maintenance(spark, docs, tmp_path):
+    """Identity evolution: pre-evolution files keep the column
+    physically, post-evolution files get it re-attached from the tuple;
+    delete_partition refuses to drop pre-evolution files; compact
+    migrates everything to the current spec."""
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, docs.schema)  # unpartitioned
+    a = docs.filter("doc_id < 250")
+    b = docs.filter("doc_id >= 250")
+    t.append(a)
+    t = IcebergTable.load(loc)
+    t.add_partition_field("lang")
+    t.append(b)
+    t = IcebergTable.load(loc)
+
+    full = t.scan(spark)
+    assert full.count() == docs.count()
+    assert full.filter("lang is null").count() == 0
+    got = {(r["doc_id"], r["lang"]) for r in full.select("doc_id", "lang").collect()}
+    want = {(r["doc_id"], r["lang"]) for r in docs.select("doc_id", "lang").collect()}
+    assert got == want
+
+    # file-granular partition delete drops only post-evolution lang=en
+    # files; pre-evolution files may contain en rows and must survive
+    t.delete_partition({"lang": "en"})
+    t = IcebergTable.load(loc)
+    after = t.scan(spark)
+    assert (
+        after.filter("lang = 'en'").count()
+        == a.filter("lang = 'en'").count()
+    )
+    assert after.count() == docs.count() - b.filter("lang = 'en'").count()
+
+    # the data source agrees with the JVM scan across mixed specs
+    from ocrs_spark.iceberg_source import IcebergDataSource
+
+    spark.dataSource.register(IcebergDataSource)
+    via = spark.read.format("ocrs_iceberg").load(loc)
+    assert {tuple(r) for r in via.select("doc_id", "lang").collect()} == {
+        tuple(r) for r in after.select("doc_id", "lang").collect()
+    }
+
+    # compaction rewrites everything under the current spec: afterwards
+    # every file carries the lang field and pruning is total
+    t.compact(spark)
+    t = IcebergTable.load(loc)
+    files, _ = t.plan_files()
+    assert all("lang" in f["partition"] for f in files)
+    assert t.scan(spark).count() == after.count()
+    en_files, stats = t.plan_files(partition_filter={"lang": "en"})
+    assert stats["files_selected"] < stats["files_total"]
+
+
 def test_hash_distribution_bounds_file_count(spark, docs, tmp_path):
     """write.distribution-mode=hash: an input spread over many Spark
     partitions still writes exactly one file per partition value (not
