@@ -207,10 +207,32 @@ def schema_from_spark(spark_schema) -> dict:
     }
 
 
+def bound_ordinal(value, iceberg_type: str):
+    """Normalize a bound value into the comparable ordinal space used
+    for that type's bounds: timestamps -> micros since epoch (naive
+    treated as UTC, matching parquet footer stats of a UTC-session
+    write), dates -> days since epoch; everything else unchanged."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if iceberg_type in ("timestamptz", "timestamp") and isinstance(
+        value, _dt.datetime
+    ):
+        ts = value if value.tzinfo else value.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.astimezone(_dt.timezone.utc).timestamp() * 1_000_000)
+    if iceberg_type == "date" and isinstance(value, _dt.date):
+        return (value - _dt.date(1970, 1, 1)).days
+    return value
+
+
 def serialize_bound(value, iceberg_type: str) -> bytes | None:
     """Iceberg single-value binary serialization (spec appendix D)."""
     if value is None:
         return None
+    value = bound_ordinal(value, iceberg_type)
+    if iceberg_type in ("timestamptz", "timestamp"):
+        return struct.pack("<q", int(value))  # micros from epoch
     if iceberg_type == "int":
         return struct.pack("<i", int(value))
     if iceberg_type == "long":
@@ -245,6 +267,8 @@ def deserialize_bound(data: bytes | None, iceberg_type: str):
         return data == b"\x01"
     if iceberg_type == "date":
         return struct.unpack("<i", data)[0]
+    if iceberg_type in ("timestamptz", "timestamp"):
+        return struct.unpack("<q", data)[0]  # micros from epoch
     return None
 
 
@@ -827,7 +851,11 @@ class IcebergTable:
                         partition[name] = int(raw)
                     else:
                         partition[name] = raw
-                lower, upper, nulls, values = {}, {}, {}, {}
+                # min/max are folded across row groups in VALUE space
+                # (normalized ordinals) — comparing the little-endian
+                # serialized bytes would order multi-byte ints wrongly
+                # and record bounds that prune files incorrectly
+                lo_v, hi_v, nulls, values, ftype = {}, {}, {}, {}, {}
                 for rg in range(meta.num_row_groups):
                     g = meta.row_group(rg)
                     for ci in range(g.num_columns):
@@ -840,16 +868,25 @@ class IcebergTable:
                         st = col.statistics
                         if st is None or not st.has_min_max:
                             continue
-                        lo = serialize_bound(st.min, f["type"])
-                        hi = serialize_bound(st.max, f["type"])
-                        if lo is None:
-                            continue
-                        if fid not in lower or lo < lower[fid]:
-                            lower[fid] = lo
-                        if fid not in upper or hi > upper[fid]:
-                            upper[fid] = hi
+                        lo = bound_ordinal(st.min, f["type"])
+                        hi = bound_ordinal(st.max, f["type"])
+                        ftype[fid] = f["type"]
+                        if fid not in lo_v or lo < lo_v[fid]:
+                            lo_v[fid] = lo
+                        if fid not in hi_v or hi > hi_v[fid]:
+                            hi_v[fid] = hi
                         nulls[fid] = nulls.get(fid, 0) + (st.null_count or 0)
                         values[fid] = values.get(fid, 0) + col.num_values
+                lower = {
+                    fid: b
+                    for fid, v in lo_v.items()
+                    if (b := serialize_bound(v, ftype[fid])) is not None
+                }
+                upper = {
+                    fid: b
+                    for fid, v in hi_v.items()
+                    if (b := serialize_bound(v, ftype[fid])) is not None
+                }
                 entries.append(
                     {
                         "status": 1,  # ADDED
@@ -1660,7 +1697,10 @@ class IcebergTable:
                         w_lo, w_hi = (
                             want if isinstance(want, tuple) else (want, want)
                         )
-                        if w_hi < lo or w_lo > hi:
+                        # a None side of a range tuple means unbounded
+                        if (w_hi is not None and w_hi < lo) or (
+                            w_lo is not None and w_lo > hi
+                        ):
                             skip = True
                 if skip:
                     continue
@@ -1680,7 +1720,11 @@ class IcebergTable:
                             continue
                         v = df_["partition"].get(col)
                         if isinstance(want, tuple):
-                            if v is None or v < want[0] or v > want[1]:
+                            if (
+                                v is None
+                                or (want[0] is not None and v < want[0])
+                                or (want[1] is not None and v > want[1])
+                            ):
                                 miss = True
                                 break
                         elif v != want:
@@ -1701,7 +1745,16 @@ class IcebergTable:
                             continue
                         lo = deserialize_bound(lo, f["type"])
                         hi = deserialize_bound(hi, f["type"])
-                        if hi < lo_want or lo > hi_want:
+                        if lo is None or hi is None:
+                            continue
+                        # wanted values normalize into the same ordinal
+                        # space as the stored bounds (datetime -> micros);
+                        # a None side means unbounded
+                        w_lo = bound_ordinal(lo_want, f["type"])
+                        w_hi = bound_ordinal(hi_want, f["type"])
+                        if (w_lo is not None and hi < w_lo) or (
+                            w_hi is not None and lo > w_hi
+                        ):
                             skip = True
                             break
                     if skip:

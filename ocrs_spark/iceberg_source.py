@@ -35,7 +35,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from .iceberg import IcebergTable, _spark_ddl
+from .iceberg import IcebergTable, _spark_ddl, transform_value
 
 
 def _arrow_schema(spark_schema):
@@ -130,17 +130,88 @@ def _read_split(split: dict, identity, arrow_schema, pos_deletes, eq_deletes):
 
 
 class IcebergBatchReader(DataSourceReader):
+    """Batch reader with real filter pushdown: Spark hands the scan's
+    predicates to ``pushFilters``, which turns comparison filters into
+    source-column ranges; ``partitions()`` maps those ranges through
+    order-preserving partition transforms (plus exact bucket lookups)
+    and per-file column bounds, so only surviving files become splits.
+    Every filter is also returned to Spark for row-exact re-evaluation —
+    pruning here is file-granular, which is exactly Iceberg's contract."""
+
     def __init__(self, location: str, spark_schema, snapshot_id: int | None):
         table = IcebergTable.load(location)
-        files, deletes, _stats = table.plan_scan(snapshot_id=snapshot_id)
-        self._splits = [_split_of(f) for f in files]
+        self._location = location
+        self._snapshot_id = snapshot_id
         self._identity = _identity_parts(table)
         self._arrow_schema = _arrow_schema(spark_schema)
-        self._pos_deletes = [
-            d["file_path"] for d in deletes if d.get("content") == 1
-        ]
+        self._scalar_cols = {
+            f["name"]
+            for f in table._schema()["fields"]
+            if isinstance(f["type"], str)
+        }
+        self._ranges: dict[str, list] = {}  # col -> [lo | None, hi | None]
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if attr is not None and len(attr) == 1 and attr[0] in self._scalar_cols:
+                col, lo, hi = attr[0], None, None
+                if isinstance(flt, EqualTo):
+                    lo = hi = flt.value
+                elif isinstance(flt, (GreaterThan, GreaterThanOrEqual)):
+                    # strictness is irrelevant for file-granular pruning
+                    lo = flt.value
+                elif isinstance(flt, (LessThan, LessThanOrEqual)):
+                    hi = flt.value
+                elif isinstance(flt, In) and flt.value:
+                    try:
+                        lo, hi = min(flt.value), max(flt.value)
+                    except TypeError:
+                        lo = hi = None
+                if lo is not None or hi is not None:
+                    cur = self._ranges.setdefault(col, [None, None])
+                    if lo is not None and (cur[0] is None or lo > cur[0]):
+                        cur[0] = lo
+                    if hi is not None and (cur[1] is None or hi < cur[1]):
+                        cur[1] = hi
+            # partial pushdown: splits are pruned, rows are Spark's job
+            yield flt
+
+    def partitions(self):
+        table = IcebergTable.load(self._location)
+        part_filter: dict = {}
+        for name, src, transform, src_type in table._partition_columns():
+            r = self._ranges.get(src)
+            if r is None:
+                continue
+            lo, hi = r
+            if transform.startswith("bucket["):
+                # buckets are unordered: only an exact point maps through
+                if lo is not None and lo == hi:
+                    part_filter[name] = transform_value(lo, transform, src_type)
+                continue
+            part_filter[name] = (
+                transform_value(lo, transform, src_type) if lo is not None else None,
+                transform_value(hi, transform, src_type) if hi is not None else None,
+            )
+        bounds = {c: (r[0], r[1]) for c, r in self._ranges.items()}
+        files, deletes, _stats = table.plan_scan(
+            snapshot_id=self._snapshot_id,
+            partition_filter=part_filter or None,
+            bounds_filter=bounds or None,
+        )
+        pos = [d["file_path"] for d in deletes if d.get("content") == 1]
         id_to_name = {f["id"]: f["name"] for f in table._schema()["fields"]}
-        self._eq_deletes = [
+        eqs = [
             (
                 d["file_path"],
                 int(d["_data_seq"]),
@@ -149,17 +220,16 @@ class IcebergBatchReader(DataSourceReader):
             for d in deletes
             if d.get("content") == 2
         ]
-
-    def partitions(self):
-        return [InputPartition(s) for s in self._splits]
+        # delete descriptors ride inside each split so read() needs no
+        # reader state mutated after construction
+        return [
+            InputPartition({**_split_of(f), "pos": pos, "eq": eqs}) for f in files
+        ]
 
     def read(self, partition):
+        s = partition.value
         yield from _read_split(
-            partition.value,
-            self._identity,
-            self._arrow_schema,
-            self._pos_deletes,
-            self._eq_deletes,
+            s, self._identity, self._arrow_schema, s["pos"], s["eq"]
         )
 
 

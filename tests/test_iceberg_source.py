@@ -78,6 +78,67 @@ def test_batch_read_time_travel(spark, docs, tmp_path):
     assert got.count() == docs.filter("doc_id < 100").count()
 
 
+def test_pushdown_prunes_splits_day_partitioned(spark, tmp_path):
+    """Filter pushdown: a ts range predicate on the source column must
+    reach pushFilters and prune the day-partitioned splits (observable
+    as fewer scan partitions), while staying row-exact."""
+    import datetime as dt
+
+    spark.dataSource.register(IcebergDataSource)
+    events = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, events.schema, partition_by=[("ts", "day")])
+    t.append(events)
+    t = IcebergTable.load(loc)
+    n_files = t.plan_files()[1]["files_total"]
+
+    day = events.select(F.to_date("ts").alias("d")).first()["d"]
+    lo = dt.datetime(day.year, day.month, day.day)
+    hi = lo + dt.timedelta(days=1) - dt.timedelta(seconds=1)
+
+    full = spark.read.format("ocrs_iceberg").load(loc)
+    assert full.rdd.getNumPartitions() == n_files
+    pruned = (
+        spark.read.format("ocrs_iceberg")
+        .load(loc)
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    )
+    assert pruned.rdd.getNumPartitions() < n_files
+    want = events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert pruned.count() == want.count() > 0
+    assert {r["event_id"] for r in pruned.collect()} == {
+        r["event_id"] for r in want.collect()
+    }
+
+
+def test_pushdown_bucket_point_lookup_and_bounds(spark, docs, tmp_path):
+    """An equality predicate maps through bucket[N] to one bucket's
+    files; on an unpartitioned table the same predicate still prunes
+    via per-file column bounds from disjoint appends."""
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, docs.schema, partition_by=[("doc_id", "bucket[8]")])
+    t.append(docs)
+    t = IcebergTable.load(loc)
+    n_files = t.plan_files()[1]["files_total"]
+    hit = spark.read.format("ocrs_iceberg").load(loc).filter("doc_id = 42")
+    assert hit.rdd.getNumPartitions() < n_files
+    assert hit.count() == 1
+
+    loc2 = str(tmp_path / "tbl2")
+    t2 = IcebergTable.create(loc2, docs.schema)
+    t2.append(docs.filter("doc_id < 100").coalesce(1))
+    IcebergTable.load(loc2).append(docs.filter("doc_id >= 100").coalesce(1))
+    t2 = IcebergTable.load(loc2)
+    n2 = t2.plan_files()[1]["files_total"]
+    low = spark.read.format("ocrs_iceberg").load(loc2).filter("doc_id <= 50")
+    assert low.rdd.getNumPartitions() < n2
+    assert low.count() == docs.filter("doc_id <= 50").count()
+
+
 def test_stream_changelog_incremental_exactly_once(spark, docs, tmp_path):
     """Offsets are snapshot sequence numbers: each availableNow run
     drains exactly the snapshots committed since the checkpoint's last
