@@ -909,7 +909,58 @@ class IcebergTable:
                     }
                 )
 
-        # manifest avro
+        return self._data_manifest_from_entries(entries, snapshot_id, seq)
+
+    def commit_data_files(
+        self,
+        data_files: list[dict],
+        extra_summary: dict | None = None,
+        replace: bool = False,
+    ) -> int:
+        """Commit already-written parquet files as one snapshot —
+        append by default, full table replace with ``replace=True``.
+
+        This is the real Iceberg writer protocol surface: executor
+        tasks write data files and report back ``data_file`` dicts
+        (path, partition tuple, record count, size, per-field bounds),
+        and the driver performs a metadata-only commit — no data moves,
+        no footer re-reads. The Arrow data source writer
+        (``iceberg_source.IcebergArrowWriter``) feeds this from its
+        collected commit messages."""
+        if not data_files:
+            raise ValueError("commit_data_files: empty file list")
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.metadata["last-sequence-number"] + 1
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": None,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {**{"content": 0, "equality_ids": None}, **f},
+            }
+            for f in data_files
+        ]
+        manifest = self._data_manifest_from_entries(entries, snapshot_id, seq)
+        return self._commit_manifests(
+            [manifest],
+            operation="overwrite" if replace else "append",
+            summary={
+                "added-data-files": str(manifest["added_files_count"]),
+                "added-records": str(manifest["added_rows_count"]),
+                **(extra_summary or {}),
+            },
+            snapshot_id=snapshot_id,
+            seq=seq,
+            carry="none" if replace else "all",
+        )
+
+    def _data_manifest_from_entries(
+        self, entries: list[dict], snapshot_id: int, seq: int
+    ) -> dict:
+        """Write one data manifest (current spec) for ADDED entries and
+        return its manifest-list dict (not yet committed)."""
+        parts = self._partition_columns()
         partition_avro_fields = [
             {
                 "name": name,
@@ -921,7 +972,7 @@ class IcebergTable:
             }
             for i, (name, _src, transform, src_type) in enumerate(parts)
         ]
-        manifest_path = f"{self.location}/metadata/{write_id}-m0.avro"
+        manifest_path = f"{self.location}/metadata/{_uuid.uuid4().hex}-m0.avro"
         spec = self._spec()
         write_ocf(
             manifest_path,

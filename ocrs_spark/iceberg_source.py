@@ -28,14 +28,26 @@ source necessarily crosses the Arrow boundary per batch.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
-from .iceberg import IcebergTable, _spark_ddl, transform_value
+from .iceberg import (
+    IcebergTable,
+    _spark_ddl,
+    bound_ordinal,
+    bucket_value,
+    serialize_bound,
+    transform_value,
+)
 
 
 def _arrow_schema(spark_schema):
@@ -274,6 +286,213 @@ class IcebergStreamReader(DataSourceStreamReader):
         pass  # progress lives in the engine's offset/commit log
 
 
+@dataclass
+class IcebergCommitMessage(WriterCommitMessage):
+    """One task's report to the driver: the data_file dicts (path,
+    partition tuple, record count, size, per-field bounds) for every
+    file it wrote — the Iceberg writer protocol's DataFile payload."""
+
+    files: list = field(default_factory=list)
+
+
+def _partition_tuples(batch, parts):
+    """Vectorized partition-tuple computation for one Arrow batch:
+    returns a pandas DataFrame with one column per partition field."""
+    import pandas as pd
+
+    out = {}
+    for name, src, transform, src_type in parts:
+        s = batch.column(src).to_pandas()
+        if transform == "identity":
+            v = s
+        elif transform.startswith("bucket["):
+            n = int(transform[len("bucket[") : -1])
+            uniq = pd.Series(s.dropna().unique())
+            mapping = {u: bucket_value(u, src_type, n) for u in uniq}
+            v = s.map(mapping)
+        elif transform.startswith("truncate["):
+            w = int(transform[len("truncate[") : -1])
+            if src_type in ("int", "long"):
+                v = s - (s % w)  # pandas % is positive-remainder, per spec
+            else:
+                v = s.str.slice(0, w)
+        else:
+            ts = pd.to_datetime(s, utc=True)
+            if transform == "year":
+                v = ts.dt.year - 1970
+            elif transform == "month":
+                v = (ts.dt.year - 1970) * 12 + ts.dt.month - 1
+            else:
+                # timedelta floor-division is resolution-independent
+                # (arrow-backed series may be us, not ns) and rounds
+                # pre-1970 values toward -inf like the spec requires
+                delta = ts - pd.Timestamp(0, tz="UTC")
+                unit = pd.Timedelta(days=1) if transform == "day" else pd.Timedelta(hours=1)
+                v = delta // unit
+            v = v.where(~ts.isna(), other=None)
+        out[name] = v
+    return pd.DataFrame(out)
+
+
+def _file_stats(tbl, fields) -> dict:
+    """Per-field value/null counts + serialized min/max bounds for a
+    written pyarrow table — computed from the in-memory data the task
+    just wrote, no footer re-read."""
+    import pyarrow.compute as pc
+
+    values, nulls, lower, upper = [], [], [], []
+    names = set(tbl.schema.names)
+    for name, ftype, fid in fields:
+        if name not in names:
+            continue
+        col = tbl.column(name)
+        values.append({"key": fid, "value": len(tbl)})
+        nulls.append({"key": fid, "value": col.null_count})
+        if col.null_count == len(tbl):
+            continue
+        try:
+            mn = pc.min(col).as_py()
+            mx = pc.max(col).as_py()
+        except Exception:
+            continue
+        lo = serialize_bound(mn, ftype)
+        hi = serialize_bound(mx, ftype)
+        if lo is not None and hi is not None:
+            lower.append({"key": fid, "value": lo})
+            upper.append({"key": fid, "value": hi})
+    return {
+        "value_counts": values,
+        "null_value_counts": nulls,
+        "lower_bounds": lower,
+        "upper_bounds": upper,
+    }
+
+
+class IcebergArrowWriter(DataSourceArrowWriter):
+    """Arrow batch writer implementing the Iceberg write protocol:
+    each task groups its batches by partition tuple, writes one parquet
+    file per tuple, computes the file's stats from the data in hand,
+    and reports data_file dicts as its commit message; the driver's
+    ``commit`` turns the collected messages into ONE metadata-only
+    snapshot commit (``IcebergTable.commit_data_files``). A failed job
+    aborts by deleting the orphaned files — the table never saw them.
+
+    Files keep every column (including identity partition sources);
+    scans re-attach identity constants only when the column is missing,
+    so both layouts read identically. For bounded files-per-partition
+    at scale, repartition by the partition source columns first (the
+    writer is task-local, like Iceberg's fanout writer)."""
+
+    def __init__(self, location: str, parts, fields, overwrite: bool):
+        import uuid
+
+        self._location = location
+        self._parts = parts
+        self._fields = fields
+        self._overwrite = overwrite
+        self._write_id = uuid.uuid4().hex
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        groups: dict[tuple, list] = {}
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            if not self._parts:
+                groups.setdefault((), []).append(tbl)
+                continue
+            pf = _partition_tuples(batch, self._parts)
+            for key, idx in pf.groupby(
+                list(pf.columns), dropna=False, sort=False
+            ).indices.items():
+                if len(pf.columns) == 1:
+                    key = (key,)
+                groups.setdefault(key, []).append(tbl.take(idx))
+
+        task_id = uuid.uuid4().hex
+        data_dir = os.path.join(self._location, "data", self._write_id)
+        os.makedirs(data_dir, exist_ok=True)
+        files = []
+        for i, (key, chunks) in enumerate(groups.items()):
+            tbl = pa.concat_tables(chunks)
+            path = os.path.join(data_dir, f"{task_id}-{i:05d}.parquet")
+            pq.write_table(tbl, path)
+            partition = {}
+            for (name, _src, transform, src_type), raw in zip(self._parts, key):
+                if raw is None or raw != raw:  # NaN from pandas null keys
+                    partition[name] = None
+                elif isinstance(raw, float) and raw.is_integer():
+                    partition[name] = int(raw)  # pandas upcast int->float
+                elif hasattr(raw, "item"):
+                    partition[name] = raw.item()  # numpy scalar -> python
+                else:
+                    partition[name] = raw
+            files.append(
+                {
+                    "content": 0,
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": partition,
+                    "record_count": len(tbl),
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": None,
+                    **_file_stats(tbl, self._fields),
+                }
+            )
+        return IcebergCommitMessage(files=files)
+
+    def commit(self, messages):
+        files = [f for m in messages if m is not None for f in m.files]
+        table = IcebergTable.load(self._location)
+        table.commit_data_files(files, replace=self._overwrite)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(f["file_path"])
+                except FileNotFoundError:
+                    pass
+
+
+class IcebergStreamArrowWriter(IcebergArrowWriter, DataSourceStreamArrowWriter):
+    """Streaming flavor: every epoch's collected files become one
+    epoch-stamped snapshot, and a replayed epoch (crash between the
+    table commit and the streaming commit log) is detected via the
+    stamp and skipped — assuming one streaming writer per table, which
+    the stamp's writer id makes explicit."""
+
+    def __init__(self, location: str, parts, fields, writer_id: str):
+        super().__init__(location, parts, fields, overwrite=False)
+        self._writer_id = writer_id
+
+    def commit(self, messages, batchId: int) -> None:
+        table = IcebergTable.load(self._location)
+        if table.last_streaming_batch(self._writer_id) >= batchId:
+            return  # replayed epoch: already committed atomically
+        files = [f for m in messages if m is not None for f in m.files]
+        if not files:
+            return
+        table.commit_data_files(
+            files,
+            extra_summary={
+                "streaming-query-id": self._writer_id,
+                "streaming-batch-id": str(batchId),
+            },
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        IcebergArrowWriter.abort(self, messages)
+
+
 class IcebergDataSource(DataSource):
     """``format("ocrs_iceberg")``; options:
 
@@ -309,4 +528,52 @@ class IcebergDataSource(DataSource):
             self.options["path"],
             schema,
             self.options.get("starting_position", "earliest"),
+        )
+
+    def _table_for_write(self, schema) -> IcebergTable:
+        """Load the target table, creating it on first write (option
+        ``partition_by``: ``"col:transform,..."``, e.g.
+        ``"ts:day,user_id:bucket[8]"``)."""
+        location = self.options["path"]
+        try:
+            table = IcebergTable.load(location)
+        except FileNotFoundError:
+            partition_by = [
+                tuple(p.split(":", 1)) if ":" in p else (p, "identity")
+                for p in self.options.get("partition_by", "").split(",")
+                if p
+            ]
+            table = IcebergTable.create(
+                location, schema, partition_by=partition_by or None
+            )
+        table_cols = [f["name"] for f in table._schema()["fields"]]
+        if [f.name for f in schema.fields] != table_cols:
+            raise ValueError(
+                f"write schema {[f.name for f in schema.fields]} does not "
+                f"match table columns {table_cols}"
+            )
+        return table
+
+    def _writer_args(self, table: IcebergTable):
+        parts = table._partition_columns()
+        fields = [
+            (f["name"], f["type"], f["id"])
+            for f in table._schema()["fields"]
+            if isinstance(f["type"], str)
+        ]
+        return parts, fields
+
+    def writer(self, schema, overwrite: bool) -> DataSourceArrowWriter:
+        table = self._table_for_write(schema)
+        parts, fields = self._writer_args(table)
+        return IcebergArrowWriter(self.options["path"], parts, fields, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamArrowWriter:
+        table = self._table_for_write(schema)
+        parts, fields = self._writer_args(table)
+        return IcebergStreamArrowWriter(
+            self.options["path"],
+            parts,
+            fields,
+            self.options.get("writer_id", "ocrs-iceberg-stream-writer"),
         )

@@ -139,6 +139,126 @@ def test_pushdown_bucket_point_lookup_and_bounds(spark, docs, tmp_path):
     assert low.count() == docs.filter("doc_id <= 50").count()
 
 
+def test_arrow_writer_append_partitioned(spark, docs, tmp_path):
+    """df.write.format('ocrs_iceberg'): executors write one parquet per
+    partition tuple and report stats; the driver commit is metadata-
+    only. Round-trips through both scan paths, prunes by partition, and
+    records real column bounds."""
+    loc = str(tmp_path / "tbl")
+    (
+        docs.repartition("lang")
+        .write.format("ocrs_iceberg")
+        .option("partition_by", "lang")
+        .mode("append")
+        .save(loc)
+    )
+    t = IcebergTable.load(loc)
+    files, stats = t.plan_files()
+    n_langs = docs.select("lang").distinct().count()
+    assert stats["files_total"] == n_langs  # repartitioned: 1 file/lang
+    assert t.scan(spark).count() == docs.count()
+
+    # identity source column is inside the files AND prunable by tuple
+    en = t.scan(spark, partition_filter={"lang": "en"})
+    assert en.count() == docs.filter("lang = 'en'").count()
+    got = {tuple(r) for r in spark.read.format("ocrs_iceberg").load(loc)
+           .select("doc_id", "lang", "n_chars").collect()}
+    want = {tuple(r) for r in docs.select("doc_id", "lang", "n_chars").collect()}
+    assert got == want
+
+    # executor-computed bounds enable file pruning on doc_id
+    _, bstats = t.plan_files(bounds_filter={"doc_id": (0, 10)})
+    assert 0 < bstats["files_selected"] <= bstats["files_total"]
+
+    # second append + overwrite truncates to the last write
+    docs.limit(7).write.format("ocrs_iceberg").mode("append").save(loc)
+    t = IcebergTable.load(loc)
+    assert t.scan(spark).count() == docs.count() + 7
+    docs.limit(3).write.format("ocrs_iceberg").mode("overwrite").save(loc)
+    t = IcebergTable.load(loc)
+    assert t.scan(spark).count() == 3
+    # history stays time-travelable
+    prev = t.snapshots()[-2]["snapshot-id"]
+    assert t.scan(spark, snapshot_id=prev).count() == docs.count() + 7
+
+
+def test_arrow_writer_day_partitioned_prunes(spark, docs, tmp_path):
+    import datetime as dt
+
+    events = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "user_id", "ts", "value")
+    )
+    loc = str(tmp_path / "tbl")
+    (
+        events.write.format("ocrs_iceberg")
+        .option("partition_by", "ts:day")
+        .mode("append")
+        .save(loc)
+    )
+    t = IcebergTable.load(loc)
+    assert t.scan(spark).count() == events.count()
+    day = events.select(F.to_date("ts").alias("d")).first()["d"]
+    lo = dt.datetime(day.year, day.month, day.day)
+    hi = lo + dt.timedelta(days=1) - dt.timedelta(seconds=1)
+    got = t.scan_range(spark, "ts", lo, hi)
+    want = events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert got.count() == want.count() > 0
+    _, stats = t.plan_files(
+        partition_filter={
+            "ts_day": transform_value_day(day)
+        }
+    )
+    assert 0 < stats["files_selected"] < stats["files_total"]
+
+
+def transform_value_day(d):
+    from ocrs_spark.iceberg import transform_value
+
+    return transform_value(d, "day", "timestamptz")
+
+
+def test_stream_writer_epoch_commits(spark, docs, tmp_path):
+    """writeStream.format('ocrs_iceberg'): each epoch is one stamped
+    snapshot; restarts from the checkpoint only commit new epochs."""
+    in_dir = str(tmp_path / "in")
+    loc = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    h1 = docs.filter("doc_id % 2 = 0")
+    h2 = docs.filter("doc_id % 2 = 1")
+    h1.write.mode("append").parquet(in_dir)
+    schema = docs.schema
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(in_dir)
+            .writeStream.format("ocrs_iceberg")
+            .option("path", loc)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run()
+    t = IcebergTable.load(loc)
+    assert t.scan(spark).count() == h1.count()
+    h2.write.mode("append").parquet(in_dir)
+    run()
+    t = IcebergTable.load(loc)
+    result = t.scan(spark)
+    assert result.count() == docs.count()
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
+    stamps = sorted(
+        int(s["summary"]["streaming-batch-id"]) for s in t.snapshots()
+    )
+    assert stamps == [0, 1]
+    run()  # idle restart: no new snapshot
+    assert len(IcebergTable.load(loc).snapshots()) == 2
+
+
 def test_stream_changelog_incremental_exactly_once(spark, docs, tmp_path):
     """Offsets are snapshot sequence numbers: each availableNow run
     drains exactly the snapshots committed since the checkpoint's last
