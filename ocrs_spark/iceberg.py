@@ -1157,6 +1157,100 @@ class IcebergTable:
         except KeyError:
             raise KeyError(f"unknown ref {name!r}") from None
 
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """FOR TIMESTAMP AS OF: the latest snapshot committed at or
+        before ``timestamp_ms`` (snapshot-log order)."""
+        best = None
+        for entry in self.metadata.get("snapshot-log", []):
+            if entry["timestamp-ms"] <= timestamp_ms:
+                best = entry["snapshot-id"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {timestamp_ms}"
+            )
+        return best
+
+    # -- metadata tables -------------------------------------------------------
+
+    def inspect_snapshots(self, spark: SparkSession) -> DataFrame:
+        """The ``<table>.snapshots`` metadata table: one row per
+        snapshot with operation and summary counts. Metadata-scale
+        (bounded by snapshot count), independent of data volume."""
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["sequence-number"],
+                s["timestamp-ms"],
+                s["summary"].get("operation"),
+                int(s["summary"].get("total-records", -1)),
+                int(s["summary"].get("total-data-files", -1)),
+                json.dumps(s["summary"], sort_keys=True),
+            )
+            for s in self.metadata["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "committed_at_ms long, operation string, total_records long, "
+            "total_data_files long, summary string",
+        )
+
+    def inspect_files(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """The ``<table>.files`` metadata table: one row per live data
+        file of the (current or given) snapshot, with its partition
+        tuple, size and row count — what small-file health checks and
+        compaction policies query."""
+        files, _deletes, _stats = self.plan_scan(snapshot_id)
+        rows = [
+            (
+                f["file_path"],
+                json.dumps(f.get("partition") or {}, sort_keys=True),
+                f["record_count"],
+                f["file_size_in_bytes"],
+                int(f.get("_data_seq", 0)),
+            )
+            for f in files
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, partition string, record_count long, "
+            "file_size_in_bytes long, data_sequence_number long",
+        )
+
+    def inspect_partitions(self, spark: SparkSession) -> DataFrame:
+        """The ``<table>.partitions`` metadata table: per-partition
+        file/row totals of the current snapshot."""
+        df = self.inspect_files(spark)
+        return (
+            df.groupBy("partition")
+            .agg(
+                F.count("*").alias("file_count"),
+                F.sum("record_count").alias("record_count"),
+                F.sum("file_size_in_bytes").alias("total_size_bytes"),
+            )
+        )
+
+    def inspect_history(self, spark: SparkSession) -> DataFrame:
+        """The ``<table>.history`` metadata table: the snapshot log,
+        flagged with whether each entry is an ancestor of the current
+        snapshot (time-travel-safe)."""
+        ancestors = set()
+        cur = self.current_snapshot_id()
+        by_id = {s["snapshot-id"]: s for s in self.metadata["snapshots"]}
+        while cur is not None:
+            ancestors.add(cur)
+            cur = by_id.get(cur, {}).get("parent-snapshot-id")
+        rows = [
+            (e["timestamp-ms"], e["snapshot-id"], e["snapshot-id"] in ancestors)
+            for e in self.metadata.get("snapshot-log", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "made_current_at_ms long, snapshot_id long, "
+            "is_current_ancestor boolean",
+        )
+
     # -- maintenance ----------------------------------------------------------
 
     def compact(self, spark: SparkSession, target_files_per_partition: int = 1) -> int:
@@ -1827,14 +1921,17 @@ class IcebergTable:
         partition_filter: dict | None = None,
         bounds_filter: dict | None = None,
         ref: str | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
-        """Read the table (optionally time-travelled / pruned / at a
-        named ref) as a DataFrame, merge-on-read applying any row-level
-        delete files."""
+        """Read the table (optionally time-travelled by snapshot id,
+        named ref, or FOR-TIMESTAMP-AS-OF ``as_of_ms`` / pruned) as a
+        DataFrame, merge-on-read applying any row-level delete files."""
+        if sum(x is not None for x in (snapshot_id, ref, as_of_ms)) > 1:
+            raise ValueError("pass only one of snapshot_id, ref, as_of_ms")
         if ref is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass either snapshot_id or ref, not both")
             snapshot_id = self.snapshot_for_ref(ref)
+        if as_of_ms is not None:
+            snapshot_id = self.snapshot_as_of(as_of_ms)
         files, deletes, _stats = self.plan_scan(
             snapshot_id, partition_filter, bounds_filter
         )

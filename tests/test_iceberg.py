@@ -406,6 +406,45 @@ def test_partition_spec_evolution_identity_and_maintenance(spark, docs, tmp_path
     assert stats["files_selected"] < stats["files_total"]
 
 
+def test_timestamp_time_travel_and_metadata_tables(spark, docs, tmp_path):
+    """FOR TIMESTAMP AS OF resolves through the snapshot log; the
+    metadata tables (snapshots/files/partitions/history) expose commit
+    and file health at metadata scale."""
+    import time as _time
+
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    t.append(docs.filter("doc_id < 100"))
+    t = IcebergTable.load(t.location)
+    between_ms = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    t.append(docs.filter("doc_id >= 100"))
+    t = IcebergTable.load(t.location)
+
+    assert t.scan(spark, as_of_ms=between_ms).count() == docs.filter(
+        "doc_id < 100"
+    ).count()
+    assert t.scan(spark, as_of_ms=int(_time.time() * 1000)).count() == docs.count()
+    with pytest.raises(ValueError):
+        t.snapshot_as_of(0)
+    with pytest.raises(ValueError):
+        t.scan(spark, snapshot_id=1, ref="main")
+
+    snaps = t.inspect_snapshots(spark).orderBy("sequence_number").collect()
+    assert [s["operation"] for s in snaps] == ["append", "append"]
+    assert snaps[-1]["total_records"] == docs.count()
+    assert snaps[-1]["parent_id"] == snaps[0]["snapshot_id"]
+
+    files = t.inspect_files(spark)
+    assert files.count() == t.plan_files()[1]["files_selected"]
+    parts = t.inspect_partitions(spark).collect()
+    n_langs = docs.select("lang").distinct().count()
+    assert len(parts) == n_langs
+    assert sum(p["record_count"] for p in parts) == docs.count()
+
+    hist = t.inspect_history(spark).collect()
+    assert len(hist) == 2 and all(h["is_current_ancestor"] for h in hist)
+
+
 def test_hash_distribution_bounds_file_count(spark, docs, tmp_path):
     """write.distribution-mode=hash: an input spread over many Spark
     partitions still writes exactly one file per partition value (not
