@@ -757,6 +757,7 @@ class IcebergTable:
         df: DataFrame,
         extra_summary: dict | None = None,
         distribution: str = "hash",
+        branch: str = "main",
     ) -> int:
         """Append a DataFrame as a new snapshot; returns the snapshot id.
 
@@ -775,6 +776,9 @@ class IcebergTable:
         to skip the shuffle (e.g. input already clustered, or one
         partition so hot that spreading it across tasks beats file
         count).
+
+        ``branch``: stage the append on a named branch instead of main
+        (write-audit-publish — see ``fast_forward``).
         """
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         seq = self.metadata["last-sequence-number"] + 1
@@ -792,6 +796,7 @@ class IcebergTable:
             snapshot_id=snapshot_id,
             seq=seq,
             carry="all",
+            branch=branch,
         )
 
     def _write_data_manifest(
@@ -1035,6 +1040,7 @@ class IcebergTable:
         snapshot_id: int,
         seq: int,
         carry: str = "all",
+        branch: str = "main",
     ) -> int:
         """Write a manifest list (new manifests + carried-forward ones)
         and commit the snapshot.
@@ -1044,8 +1050,19 @@ class IcebergTable:
         delete manifests (file-granular data rewrites that must not drop
         pending row-level deletes), ``"none"`` keeps nothing (full
         replace/compaction, which also purges applied deletes).
+
+        ``branch``: the ref this commit advances. ``"main"`` is the
+        published table; any other name stages the snapshot on that
+        branch (write-audit-publish) — parented on the branch head (or
+        main's head if the branch is new), invisible to default scans
+        until ``fast_forward("main", branch)`` publishes it.
         """
-        prev = self.current_snapshot_id()
+        branch_ref = self.metadata.get("refs", {}).get(branch)
+        prev = (
+            branch_ref["snapshot-id"]
+            if branch_ref is not None
+            else self.current_snapshot_id()
+        )
         carried: list[dict] = []
         if prev is not None and carry != "none":
             snap = next(
@@ -1098,17 +1115,19 @@ class IcebergTable:
         if prev is not None:
             snapshot["parent-snapshot-id"] = prev
         self.metadata["snapshots"].append(snapshot)
-        self.metadata["snapshot-log"].append(
-            {"timestamp-ms": now, "snapshot-id": snapshot_id}
-        )
-        self.metadata["current-snapshot-id"] = snapshot_id
         self.metadata["last-sequence-number"] = seq
         self.metadata["last-updated-ms"] = now
-        # spec: the main branch ref tracks the current snapshot
-        self.metadata.setdefault("refs", {})["main"] = {
+        self.metadata.setdefault("refs", {})[branch] = {
             "snapshot-id": snapshot_id,
             "type": "branch",
         }
+        if branch == "main":
+            # spec: snapshot-log and current-snapshot-id track main only;
+            # staged branch commits stay invisible to default scans
+            self.metadata["snapshot-log"].append(
+                {"timestamp-ms": now, "snapshot-id": snapshot_id}
+            )
+            self.metadata["current-snapshot-id"] = snapshot_id
         self._commit_metadata()
         return snapshot_id
 
@@ -1156,6 +1175,47 @@ class IcebergTable:
             return self.metadata.get("refs", {})[name]["snapshot-id"]
         except KeyError:
             raise KeyError(f"unknown ref {name!r}") from None
+
+    def fast_forward(self, branch: str, source: str) -> int:
+        """Publish ``source``'s head onto ``branch`` iff the move is a
+        pure fast-forward (branch's head is an ancestor of source's head,
+        or branch is empty) — the write-audit-publish pattern: stage a
+        crawl batch with ``append(df, branch="audit")``, run quality
+        checks against ``scan(ref="audit")``, then
+        ``fast_forward("main", "audit")`` makes it visible to every
+        reader atomically (one CAS metadata commit). If main advanced
+        concurrently the ancestry check fails and the caller must
+        re-stage — never a silent overwrite of someone else's publish.
+        Returns the published snapshot id."""
+        src_head = self.snapshot_for_ref(source)
+        dst = self.metadata.get("refs", {}).get(branch)
+        dst_head = dst["snapshot-id"] if dst else None
+        by_id = {s["snapshot-id"]: s for s in self.metadata["snapshots"]}
+        cur, is_ancestor = src_head, dst_head is None
+        while cur is not None and not is_ancestor:
+            if cur == dst_head:
+                is_ancestor = True
+                break
+            cur = by_id[cur].get("parent-snapshot-id")
+        if not is_ancestor:
+            raise ValueError(
+                f"cannot fast-forward {branch!r} to {source!r}: "
+                f"{branch!r} head {dst_head} is not an ancestor of "
+                f"{source!r} head {src_head}"
+            )
+        now = int(time.time() * 1000)
+        self.metadata.setdefault("refs", {})[branch] = {
+            "snapshot-id": src_head,
+            "type": "branch",
+        }
+        if branch == "main":
+            self.metadata["current-snapshot-id"] = src_head
+            self.metadata["snapshot-log"].append(
+                {"timestamp-ms": now, "snapshot-id": src_head}
+            )
+        self.metadata["last-updated-ms"] = now
+        self._commit_metadata()
+        return src_head
 
     def snapshot_as_of(self, timestamp_ms: int) -> int:
         """FOR TIMESTAMP AS OF: the latest snapshot committed at or
@@ -1535,6 +1595,229 @@ class IcebergTable:
         self.metadata["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata()
         return {"snapshots_removed": len(drop), "files_deleted": len(dead)}
+
+    def rewrite_manifests(self) -> dict:
+        """Consolidate the current snapshot's data manifests — one per
+        partition spec — WITHOUT touching any data file.
+
+        Scan planning is O(manifests): a table built from thousands of
+        fast-append micro-commits (streaming epochs, per-run OCR
+        commits) accumulates one tiny manifest per commit, and at 100 TB
+        the driver's planning time is dominated by opening them all.
+        This rewrites every live entry as EXISTING (status 0, explicit
+        data sequence number preserved, so merge-on-read delete
+        application is unchanged) into one manifest per spec-id, sorted
+        by partition tuple so manifest-level partition summaries stay
+        tight for pruning. Delete manifests are carried through
+        untouched. Pure metadata: cost is proportional to file COUNT,
+        never data volume. Returns {manifests_before, manifests_after,
+        entries}."""
+        sid = self.current_snapshot_id()
+        if sid is None:
+            return {"manifests_before": 0, "manifests_after": 0, "entries": 0}
+        snap = next(
+            s for s in self.metadata["snapshots"] if s["snapshot-id"] == sid
+        )
+        manifests, _ = read_ocf(snap["manifest-list"])
+        data_manifests = [m for m in manifests if m.get("content", 0) == 0]
+        specs_present = {m["partition_spec_id"] for m in data_manifests}
+        if len(data_manifests) <= len(specs_present):
+            return {
+                "manifests_before": len(data_manifests),
+                "manifests_after": len(data_manifests),
+                "entries": sum(
+                    m["added_files_count"] + m["existing_files_count"]
+                    for m in data_manifests
+                ),
+            }
+
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = self.metadata["last-sequence-number"] + 1
+
+        # live entries per spec, each with its effective data sequence
+        # number made explicit (ADDED entries inherit their manifest's)
+        by_spec: dict[int, list[dict]] = {}
+        for m in data_manifests:
+            entries, _ = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] == 2:  # DELETED — drop from the rewrite
+                    continue
+                data_seq = (
+                    e["sequence_number"]
+                    if e["sequence_number"] is not None
+                    else m["sequence_number"]
+                )
+                by_spec.setdefault(m["partition_spec_id"], []).append(
+                    {
+                        "status": 0,  # EXISTING
+                        "snapshot_id": e["snapshot_id"]
+                        if e["snapshot_id"] is not None
+                        else m["added_snapshot_id"],
+                        "sequence_number": data_seq,
+                        "file_sequence_number": e["file_sequence_number"],
+                        "data_file": e["data_file"],
+                    }
+                )
+
+        new_manifests = []
+        n_entries = 0
+        for gi, spec_id in enumerate(sorted(by_spec)):
+            entries = sorted(
+                by_spec[spec_id],
+                key=lambda e: repr(sorted((e["data_file"]["partition"] or {}).items())),
+            )
+            n_entries += len(entries)
+            sparts = self._partition_columns(spec_id)
+            spec = self._spec(spec_id)
+            partition_avro_fields = [
+                {
+                    "name": name,
+                    "type": _opt(
+                        _ICEBERG_TO_AVRO[transform_result_type(transform, src_type)]
+                    ),
+                    "field-id": 1000 + i,
+                    "default": None,
+                }
+                for i, (name, _src, transform, src_type) in enumerate(sparts)
+            ]
+            manifest_path = (
+                f"{self.location}/metadata/{_uuid.uuid4().hex}-m{gi}.avro"
+            )
+            write_ocf(
+                manifest_path,
+                _manifest_entry_schema(partition_avro_fields),
+                entries,
+                metadata={
+                    "schema": json.dumps(self._schema()),
+                    "schema-id": str(self.metadata["current-schema-id"]),
+                    "partition-spec": json.dumps(spec["fields"]),
+                    "partition-spec-id": str(spec["spec-id"]),
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            summaries = []
+            for name, _src, transform, src_type in sparts:
+                vals = [e["data_file"]["partition"].get(name) for e in entries]
+                non_null = [v for v in vals if v is not None]
+                bound_type = transform_result_type(transform, src_type)
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": False,
+                        "lower_bound": serialize_bound(
+                            min(non_null) if non_null else None, bound_type
+                        ),
+                        "upper_bound": serialize_bound(
+                            max(non_null) if non_null else None, bound_type
+                        ),
+                    }
+                )
+            new_manifests.append(
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": spec_id,
+                    "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        [e["sequence_number"] for e in entries] + [seq]
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": 0,
+                    "existing_files_count": len(entries),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"] for e in entries
+                    ),
+                    "deleted_rows_count": 0,
+                    "partitions": summaries,
+                    "key_metadata": None,
+                }
+            )
+
+        self._commit_manifests(
+            new_manifests,
+            operation="replace",
+            summary={
+                "manifests-replaced": str(len(data_manifests)),
+                "manifests-created": str(len(new_manifests)),
+            },
+            snapshot_id=snapshot_id,
+            seq=seq,
+            carry="deletes",
+        )
+        return {
+            "manifests_before": len(data_manifests),
+            "manifests_after": len(new_manifests),
+            "entries": n_entries,
+        }
+
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> dict:
+        """Delete files under the table location that no snapshot
+        references — the debris of failed distributed writes (tasks
+        wrote data files, the driver never committed the metadata).
+
+        Reachability is computed over ALL retained snapshots (not just
+        the current one), every manifest list / manifest they name, and
+        every ``*.metadata.json`` / hint file. Hidden files (basename
+        starting with ``.`` or ``_``, e.g. Spark's ``_SUCCESS``
+        markers) are skipped, mirroring Iceberg's hidden-path filter.
+        ``older_than_ms`` (epoch millis) protects in-flight writers:
+        only files modified before the cutoff are removed — at scale
+        this is run with a multi-hour cutoff so a slow task that will
+        still be committed is never deleted under it. Returns
+        {files_deleted, bytes_reclaimed}."""
+        live: set = set()
+        for s in self.metadata["snapshots"]:
+            live.add(s["manifest-list"])
+            manifests, _ = read_ocf(s["manifest-list"])
+            for m in manifests:
+                live.add(m["manifest_path"])
+                entries, _ = read_ocf(m["manifest_path"])
+                for e in entries:
+                    live.add(e["data_file"]["file_path"])
+        live = {os.path.normpath(p) for p in live}
+
+        deleted = 0
+        reclaimed = 0
+        for sub in ("data", "metadata"):
+            root_dir = f"{self.location}/{sub}"
+            if not os.path.isdir(root_dir):
+                continue
+            for root, _dirs, fns in os.walk(root_dir):
+                for fn in fns:
+                    if fn.startswith((".", "_")):
+                        continue
+                    if fn.endswith(".metadata.json") or fn == "version-hint.text":
+                        continue
+                    path = os.path.normpath(os.path.join(root, fn))
+                    if path in live:
+                        continue
+                    try:
+                        st = os.stat(path)
+                    except FileNotFoundError:
+                        continue
+                    if older_than_ms is not None and st.st_mtime * 1000 >= older_than_ms:
+                        continue
+                    os.remove(path)
+                    deleted += 1
+                    reclaimed += st.st_size
+        # prune now-empty write directories under data/
+        data_dir = f"{self.location}/data"
+        if os.path.isdir(data_dir):
+            for root, dirs, fns in os.walk(data_dir, topdown=False):
+                if root != data_dir and not dirs and not any(
+                    not f.startswith((".", "_")) for f in fns
+                ):
+                    try:
+                        for f in fns:
+                            os.remove(os.path.join(root, f))
+                        os.rmdir(root)
+                    except OSError:
+                        pass
+        return {"files_deleted": deleted, "bytes_reclaimed": reclaimed}
 
     def add_column(self, name: str, spark_type_ddl: str) -> None:
         """Schema evolution: add an optional column (new schema-id).

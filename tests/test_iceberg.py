@@ -671,3 +671,128 @@ def test_add_column_schema_evolution(spark, docs, tmp_path):
     assert got.quality == 3 / 1000.0
     with pytest.raises(ValueError, match="already exists"):
         IcebergTable.load(t.location).add_column("quality", "double")
+
+
+def test_rewrite_manifests_consolidates_without_touching_data(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    pre = []
+    for i in range(4):  # micro-commits -> one tiny manifest each
+        pre.append(t.append(docs.filter(F.col("doc_id") % 4 == i)))
+    # a pending row-level delete that must survive the rewrite
+    t.delete_where(spark, "doc_id % 10 = 3")
+    files_before, stats_before = t.plan_files()
+    paths_before = sorted(f["file_path"] for f in files_before)
+    want = docs.filter("doc_id % 10 <> 3").count()
+    assert t.scan(spark).count() == want
+
+    result = t.rewrite_manifests()
+    assert result["manifests_after"] < result["manifests_before"]
+    assert result["manifests_after"] == 1
+    assert result["entries"] == len(files_before)
+
+    loaded = IcebergTable.load(t.location)
+    files_after, stats_after = loaded.plan_files()
+    # metadata-only: the exact same data files, fewer manifests to open
+    assert sorted(f["file_path"] for f in files_after) == paths_before
+    assert stats_after["manifests_total"] < stats_before["manifests_total"]
+    # pending position deletes still apply (data seqs preserved)
+    assert loaded.scan(spark).count() == want
+    assert loaded.snapshots()[-1]["summary"]["operation"] == "replace"
+    # partition pruning still works off the consolidated summaries
+    _, pruned = loaded.plan_files(partition_filter={"lang": "en"})
+    assert pruned["files_selected"] < pruned["files_total"]
+    # time travel to a pre-rewrite snapshot is unaffected
+    assert loaded.scan(spark, snapshot_id=pre[1]).count() == docs.filter(
+        "doc_id % 4 IN (0, 1)"
+    ).count()
+    # idempotent: already consolidated -> no-op, same snapshot count
+    n_snaps = len(loaded.snapshots())
+    again = loaded.rewrite_manifests()
+    assert again["manifests_before"] == again["manifests_after"] == 1
+    assert len(IcebergTable.load(t.location).snapshots()) == n_snaps
+
+
+def test_remove_orphan_files_deletes_uncommitted_debris(spark, docs, tmp_path):
+    import time as _time
+
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    t.append(docs)
+    live_files = [f["file_path"] for f in t.plan_files()[0]]
+
+    # debris of a failed distributed write: task output with no commit
+    orphan_dir = f"{t.location}/data/deadbeef"
+    os.makedirs(orphan_dir)
+    orphan_data = f"{orphan_dir}/part-00000.parquet"
+    with open(orphan_data, "wb") as f:
+        f.write(b"not really parquet")
+    orphan_manifest = f"{t.location}/metadata/deadbeef-m0.avro"
+    with open(orphan_manifest, "wb") as f:
+        f.write(b"not really avro")
+    hidden = f"{orphan_dir}/_SUCCESS"
+    with open(hidden, "w"):
+        pass
+
+    # a fresh-file cutoff protects in-flight writers
+    cutoff_past = int((_time.time() - 3600) * 1000)
+    res = t.remove_orphan_files(older_than_ms=cutoff_past)
+    assert res["files_deleted"] == 0
+    assert os.path.exists(orphan_data)
+
+    res = t.remove_orphan_files()
+    assert res["files_deleted"] == 2
+    assert res["bytes_reclaimed"] > 0
+    assert not os.path.exists(orphan_data)
+    assert not os.path.exists(orphan_manifest)
+    assert not os.path.exists(orphan_dir)  # emptied write dir pruned
+    # everything reachable survives: data, manifests, metadata jsons
+    assert all(os.path.exists(p) for p in live_files)
+    loaded = IcebergTable.load(t.location)
+    assert loaded.scan(spark).count() == docs.count()
+    # reachability spans ALL snapshots, not just the current one
+    t2 = IcebergTable.load(t.location)
+    t2.compact(spark)
+    res2 = t2.remove_orphan_files()
+    assert res2["files_deleted"] == 0  # pre-compaction files still referenced
+    assert all(os.path.exists(p) for p in live_files)
+
+
+def test_write_audit_publish_branch_flow(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    base = docs.filter("doc_id % 2 = 0")
+    t.append(base)
+    published = t.current_snapshot_id()
+
+    # stage a new crawl batch on an audit branch: invisible on main
+    batch = docs.filter("doc_id % 2 = 1")
+    staged = t.append(batch, branch="audit")
+    assert t.current_snapshot_id() == published
+    assert t.scan(spark).count() == base.count()
+    # ...but fully readable for quality checks via the branch ref
+    audit = t.scan(spark, ref="audit")
+    assert audit.count() == docs.count()
+
+    # audit passed: publish atomically
+    got = t.fast_forward("main", "audit")
+    assert got == staged
+    loaded = IcebergTable.load(t.location)
+    assert loaded.current_snapshot_id() == staged
+    assert loaded.scan(spark).count() == docs.count()
+    # snapshot-log gained exactly one entry for the publish
+    assert loaded.metadata["snapshot-log"][-1]["snapshot-id"] == staged
+
+    # a second staged batch on the same branch parents on the branch head
+    t2 = IcebergTable.load(t.location)
+    extra = docs.withColumn("doc_id", F.col("doc_id") + 50000)
+    s2 = t2.append(extra, branch="audit")
+    snaps = {s["snapshot-id"]: s for s in t2.snapshots()}
+    assert snaps[s2]["parent-snapshot-id"] == staged
+
+    # diverged main (a direct append) makes the publish a non-fast-forward
+    t2.append(docs.withColumn("doc_id", F.col("doc_id") + 90000))
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t2.fast_forward("main", "audit")
+
+    # audit rejected instead: drop the branch; staged rows never published
+    t2.drop_ref("audit")
+    final = IcebergTable.load(t.location).scan(spark)
+    assert final.filter("doc_id >= 50000 AND doc_id < 90000").count() == 0
