@@ -1313,6 +1313,47 @@ class IcebergTable:
 
     # -- maintenance ----------------------------------------------------------
 
+    def set_sort_order(self, columns: list) -> int:
+        """Declare the table's write sort order (spec ``sort-orders``).
+
+        ``columns``: column names, or ``(name, "asc"|"desc")`` tuples.
+        Metadata-only; takes effect on the next sorted ``compact``.
+        Returns the new order-id."""
+        fields = []
+        schema_fields = {f["name"]: f for f in self._schema()["fields"]}
+        for c in columns:
+            name, direction = c if isinstance(c, tuple) else (c, "asc")
+            if name not in schema_fields:
+                raise ValueError(f"unknown sort column {name!r}")
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"direction must be asc/desc, got {direction!r}")
+            fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": schema_fields[name]["id"],
+                    "direction": direction,
+                    "null-order": "nulls-first",
+                }
+            )
+        order_id = 1 + max(o["order-id"] for o in self.metadata["sort-orders"])
+        self.metadata["sort-orders"].append({"order-id": order_id, "fields": fields})
+        self.metadata["default-sort-order-id"] = order_id
+        self.metadata["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata()
+        return order_id
+
+    def _sort_columns(self) -> list[tuple[str, str]]:
+        """(column name, direction) pairs of the default sort order."""
+        oid = self.metadata.get("default-sort-order-id", 0)
+        order = next(
+            (o for o in self.metadata["sort-orders"] if o["order-id"] == oid),
+            None,
+        )
+        if not order or not order["fields"]:
+            return []
+        by_id = {f["id"]: f["name"] for f in self._schema()["fields"]}
+        return [(by_id[f["source-id"]], f["direction"]) for f in order["fields"]]
+
     def compact(self, spark: SparkSession, target_files_per_partition: int = 1) -> int:
         """Rewrite the current snapshot's data into fewer files per
         partition and commit it as a ``replace`` snapshot.
@@ -1323,18 +1364,43 @@ class IcebergTable:
         count. The rewrite reads only live files and the commit swaps
         the manifest list — previous snapshots (and their files) stay
         readable for time travel until ``expire_snapshots``.
+
+        If a default sort order is set (``set_sort_order``), the rewrite
+        range-clusters rows by (partition tuple, sort key): each output
+        file covers a disjoint sort-key slice, so the per-file column
+        bounds recorded in the manifest become tight and a
+        ``bounds_filter`` point/range scan opens ~one file per partition
+        instead of all of them — Iceberg's sorted rewrite_data_files. At
+        100 TB this is what turns a needle query from a partition scan
+        into a handful of file reads.
         """
         live = self.scan(spark)
         parts = self._partition_columns()
+        part_srcs = [src for _n, src, _t, _st in parts]
+        sort_cols = self._sort_columns()
+        target = max(target_files_per_partition, 1)
+        if sort_cols:
+            # files-per-partition × partition-tuple count, from metadata
+            # (plan_files is manifest-only — no data read)
+            files, _ = self.plan_files()
+            n_tuples = max(
+                1, len({tuple(sorted((f["partition"] or {}).items())) for f in files})
+            )
+            exprs = [F.col(c) for c in part_srcs] + [
+                F.col(c).desc() if d == "desc" else F.col(c).asc()
+                for c, d in sort_cols
+            ]
+            live = live.repartitionByRange(target * n_tuples, *exprs)
+            live = live.sortWithinPartitions(*exprs)
+            # distribution="none": the write path must NOT re-shuffle by
+            # partition tuple or it destroys the range clustering
+            return self._replace_with(live, operation="replace", distribution="none")
         if parts:
             # coalesce within partitions: repartition on the partition
             # values so each tuple lands in few tasks
-            live = live.repartition(
-                max(target_files_per_partition, 1),
-                *[F.col(src) for _n, src, _t, _st in parts],
-            )
+            live = live.repartition(target, *[F.col(c) for c in part_srcs])
         else:
-            live = live.coalesce(max(target_files_per_partition, 1))
+            live = live.coalesce(target)
         return self._replace_with(live, operation="replace")
 
     def delete_partition(self, partition_filter: dict) -> int:
@@ -1861,7 +1927,9 @@ class IcebergTable:
         self.metadata["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata()
 
-    def _replace_with(self, df: DataFrame, operation: str) -> int:
+    def _replace_with(
+        self, df: DataFrame, operation: str, distribution: str = "hash"
+    ) -> int:
         """Write ``df`` as a fresh file set and commit a snapshot whose
         manifest list contains ONLY the new manifest. Row-level delete
         manifests are NOT carried forward: ``df`` is the merge-on-read
@@ -1869,7 +1937,9 @@ class IcebergTable:
         old_files, _ = self.plan_files()
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         seq = self.metadata["last-sequence-number"] + 1
-        manifest = self._write_data_manifest(df, snapshot_id, seq)
+        manifest = self._write_data_manifest(
+            df, snapshot_id, seq, distribution=distribution
+        )
         return self._commit_manifests(
             [manifest],
             operation=operation,

@@ -796,3 +796,31 @@ def test_write_audit_publish_branch_flow(spark, docs, tmp_path):
     t2.drop_ref("audit")
     final = IcebergTable.load(t.location).scan(spark)
     assert final.filter("doc_id >= 50000 AND doc_id < 90000").count() == 0
+
+
+def test_sorted_compaction_tightens_bounds_for_pruning(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    # interleaved appends: every file spans nearly the full doc_id range,
+    # so a point bounds_filter can prune nothing
+    for i in range(4):
+        t.append(docs.filter(F.col("doc_id") % 4 == i))
+    _, before = t.plan_files(bounds_filter={"doc_id": (123, 123)})
+    assert before["files_selected"] > 1  # overlapping bounds: no pruning
+
+    oid = t.set_sort_order(["doc_id"])
+    assert oid == 1
+    assert t.metadata["default-sort-order-id"] == 1
+    t.compact(spark, target_files_per_partition=4)
+
+    loaded = IcebergTable.load(t.location)
+    files, after = loaded.plan_files(bounds_filter={"doc_id": (123, 123)})
+    # range-clustered files: disjoint doc_id slices -> a point lookup
+    # opens ~one file, not every file in the partition
+    assert after["files_selected"] < before["files_selected"]
+    assert after["files_selected"] <= max(1, after["files_total"] // 3)
+    # content unchanged
+    assert loaded.scan(spark).count() == docs.count()
+    got = loaded.scan(spark, bounds_filter={"doc_id": (123, 123)}).filter(
+        "doc_id = 123"
+    )
+    assert got.count() == 1
