@@ -1662,7 +1662,7 @@ class IcebergTable:
         self._commit_metadata()
         return {"snapshots_removed": len(drop), "files_deleted": len(dead)}
 
-    def rewrite_manifests(self) -> dict:
+    def rewrite_manifests(self, extra_summary: dict | None = None) -> dict:
         """Consolidate the current snapshot's data manifests — one per
         partition spec — WITHOUT touching any data file.
 
@@ -1809,6 +1809,7 @@ class IcebergTable:
             summary={
                 "manifests-replaced": str(len(data_manifests)),
                 "manifests-created": str(len(new_manifests)),
+                **(extra_summary or {}),
             },
             snapshot_id=snapshot_id,
             seq=seq,

@@ -228,13 +228,29 @@ def stream_ocr_to_iceberg(
         raise TimeoutError("stream_ocr_to_iceberg: backlog not drained in 900s")
 
 
-def _ocr_epoch_sink(media: DataFrame, checkpoint_dir: str, table_location: str, engine_conf: dict):
+def _ocr_epoch_sink(
+    media: DataFrame,
+    checkpoint_dir: str,
+    table_location: str,
+    engine_conf: dict,
+    manifest_rewrite_threshold: int = 8,
+):
     """foreachBatch function: OCR the micro-batch and commit it to the
     Iceberg table with an epoch stamp, skipping replayed epochs (see
-    ``stream_ocr_to_iceberg``)."""
+    ``stream_ocr_to_iceberg``).
+
+    Inline maintenance: every streaming epoch appends one manifest, and
+    scan planning is O(manifests), so a long-lived stream slowly makes
+    its own table expensive to read. Once the snapshot carries more
+    than ``manifest_rewrite_threshold`` data manifests the sink folds
+    them with ``rewrite_manifests`` — metadata-only (no data I/O), cost
+    amortized O(1) per epoch, and crash-safe: it is a separate CAS
+    commit after the epoch's own, so a kill between the two just leaves
+    the consolidation for a later epoch."""
     import json
     import os
 
+    from .avro_ocf import read_ocf
     from .iceberg import IcebergTable
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -258,6 +274,22 @@ def _ocr_epoch_sink(media: DataFrame, checkpoint_dir: str, table_location: str, 
                 "streaming-batch-id": str(batch_id),
             },
         )
+        snap = next(
+            s
+            for s in table.snapshots()
+            if s["snapshot-id"] == table.current_snapshot_id()
+        )
+        manifests, _ = read_ocf(snap["manifest-list"])
+        if sum(1 for m in manifests if m.get("content", 0) == 0) > manifest_rewrite_threshold:
+            # re-stamp the epoch on the consolidation snapshot: if a
+            # later expire_snapshots keeps only it, the replay
+            # high-water mark must survive
+            table.rewrite_manifests(
+                extra_summary={
+                    "streaming-query-id": query_id,
+                    "streaming-batch-id": str(batch_id),
+                }
+            )
 
     return process_batch
 

@@ -245,3 +245,53 @@ def test_stream_ocr_replay_is_idempotent(spark, tmp_path):
     result = spark.read.parquet(out_dir)
     assert result.count() == docs.count()
     assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_stream_sink_inline_manifest_maintenance(spark, tmp_path):
+    """A long-lived stream appends one manifest per epoch; past the
+    threshold the sink folds them (metadata-only) and re-stamps the
+    epoch so the replay high-water mark survives snapshot expiry."""
+    import json
+    import os
+
+    from ocrs_spark.avro_ocf import read_ocf
+    from ocrs_spark.iceberg import IcebergTable
+    from ocrs_spark.streaming import _ocr_epoch_sink
+
+    corpus = generate_corpus(n_docs=12, seed=23)
+    docs, media, expected = corpus_to_spark(spark, corpus)
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "metadata"), "w") as f:
+        json.dump({"id": "test-query-1"}, f)
+    loc = str(tmp_path / "tbl")
+
+    process = _ocr_epoch_sink(
+        media, ckpt, loc, {"kind": "fake"}, manifest_rewrite_threshold=3
+    )
+    for epoch in range(6):
+        process(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(6)) == epoch), epoch
+        )
+
+    table = IcebergTable.load(loc)
+    snap = next(
+        s for s in table.snapshots() if s["snapshot-id"] == table.current_snapshot_id()
+    )
+    manifests, _ = read_ocf(snap["manifest-list"])
+    n_data = sum(1 for m in manifests if m.get("content", 0) == 0)
+    # without maintenance this would be 6; the fold keeps it bounded
+    assert n_data <= 4
+    assert any(
+        s["summary"].get("operation") == "replace" for s in table.snapshots()
+    )
+    # replay high-water mark intact after expiring everything but HEAD
+    assert table.last_streaming_batch("test-query-1") == 5
+    table.expire_snapshots(keep_last=1)
+    table = IcebergTable.load(loc)
+    assert table.last_streaming_batch("test-query-1") == 5
+    # a replayed epoch is still skipped (no duplicate rows)
+    process(docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(6)) == 5), 5)
+    result = IcebergTable.load(loc).scan(spark)
+    assert result.count() == docs.count()
+    assert result.groupBy("doc_id").count().filter("count > 1").count() == 0
