@@ -191,3 +191,102 @@ def extract_main_content(html: str) -> str:
     document order."""
     kept = [b.text for b in text_blocks(parse_html(html)) if keep_block(b)]
     return " ".join(kept)
+
+
+# ---------------------------------------------------------------------------
+# Structured-metadata extraction: the head-side complement of main-content
+# extraction. A training-data pipeline wants (title, language, canonical
+# URL, publication date, summary) alongside the body text — for dedup
+# keys (canonical URL), temporal filtering (published), and
+# language routing — without a second parse, so this walks the same
+# tolerant tree.
+
+_META_NAME_KEYS = {"description"}
+_META_PROP_KEYS = {"og:title", "og:description", "article:published_time"}
+
+
+def _node_text(node: _Node) -> str:
+    parts: list[str] = []
+
+    def walk(n: _Node):
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                walk(c)
+
+    walk(node)
+    return " ".join(" ".join(parts).split())
+
+
+def extract_metadata(html: str) -> dict:
+    """Structured metadata of an HTML document as a flat dict (missing
+    fields are None): ``title`` (<title>), ``lang`` (html[lang]),
+    ``description`` (meta[name=description]), ``og_title`` /
+    ``og_description`` / ``published`` (OpenGraph / article:* meta
+    properties), ``canonical_url`` (link[rel=canonical]), and from the
+    first JSON-LD block: ``jsonld_type`` / ``jsonld_headline``.
+    Malformed JSON-LD is ignored, never fatal — crawl corpora are full
+    of it."""
+    import json as _json
+
+    root = parse_html(html)
+    out: dict = {
+        "title": None,
+        "lang": None,
+        "description": None,
+        "og_title": None,
+        "og_description": None,
+        "published": None,
+        "canonical_url": None,
+        "jsonld_type": None,
+        "jsonld_headline": None,
+    }
+
+    def walk(node: _Node):
+        for child in node.children:
+            if isinstance(child, str):
+                continue
+            tag, attrs = child.tag, child.attrs
+            if tag == "html" and out["lang"] is None and attrs.get("lang"):
+                out["lang"] = attrs["lang"]
+            elif tag == "title" and out["title"] is None:
+                out["title"] = _node_text(child) or None
+            elif tag == "meta":
+                content = attrs.get("content")
+                if content is None:
+                    pass
+                elif attrs.get("name") in _META_NAME_KEYS:
+                    out.setdefault("description", None)
+                    if out["description"] is None:
+                        out["description"] = content
+                elif attrs.get("property") in _META_PROP_KEYS:
+                    key = {
+                        "og:title": "og_title",
+                        "og:description": "og_description",
+                        "article:published_time": "published",
+                    }[attrs["property"]]
+                    if out[key] is None:
+                        out[key] = content
+            elif tag == "link":
+                rels = (attrs.get("rel") or "").split()
+                if "canonical" in rels and out["canonical_url"] is None:
+                    out["canonical_url"] = attrs.get("href")
+            elif tag == "script" and attrs.get("type") == "application/ld+json":
+                if out["jsonld_type"] is None:
+                    raw = "".join(c for c in child.children if isinstance(c, str))
+                    try:
+                        data = _json.loads(raw)
+                    except (ValueError, TypeError):
+                        data = None
+                    if isinstance(data, list) and data:
+                        data = data[0]
+                    if isinstance(data, dict):
+                        t = data.get("@type")
+                        out["jsonld_type"] = t if isinstance(t, str) else None
+                        h = data.get("headline")
+                        out["jsonld_headline"] = h if isinstance(h, str) else None
+            walk(child)
+
+    walk(root)
+    return out

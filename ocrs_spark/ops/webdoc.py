@@ -158,13 +158,36 @@ _RICH_FOOTER = (
 )
 
 
-def _rich_html(doc_id: int, text: str) -> str:
+def _rich_html(doc_id: int, text: str, lang: str = "en") -> str:
     """Deterministic hard-boilerplate wrapper, variant by doc_id % 3.
     Every boilerplate block is either structurally negative (nav,
     footer), hint-negative (comments, related, copyright), or
     link-dense; the document text is the only kept content, so exact
-    identity recovery is the correctness bar."""
+    identity recovery is the correctness bar.
+
+    The head carries deterministic structured metadata (description,
+    OpenGraph, canonical link, JSON-LD) derived from the row, so the
+    metadata extractor has an exact closed-form oracle. All of it is
+    head-side void/script/title content the main-content legs drop, so
+    the identity-recovery oracle is untouched."""
+    import datetime as _dt
+    import json as _json
+
     title = f"<title>Doc {doc_id}</title>"
+    desc = " ".join(text.split(" ")[:6])
+    published = (
+        _dt.date(2024, 1, 1) + _dt.timedelta(days=int(doc_id) % 365)
+    ).isoformat()
+    jsonld_type = ("Article", "NewsArticle", "BlogPosting")[int(doc_id) % 3]
+    head_meta = (
+        f'{title}<meta name="description" content="{desc}">'
+        f'<meta property="og:title" content="Doc {doc_id} | corpus">'
+        f'<meta property="article:published_time" content="{published}">'
+        f'<link rel="canonical" href="https://corpus.example/doc/{doc_id}">'
+        f'<script type="application/ld+json">'
+        + _json.dumps({"@type": jsonld_type, "headline": f"Doc {doc_id}"})
+        + "</script>"
+    )
     variant = doc_id % 3
     if variant == 0:
         body = (
@@ -184,7 +207,7 @@ def _rich_html(doc_id: int, text: str) -> str:
             f"<header>{title}</header><section><p>{text}</p></section>"
             f"{_RICH_SIDEBAR}{_RICH_COMMENTS}{_RICH_FOOTER}"
         )
-    return f"<html><head>{title}</head><body>{body}</body></html>"
+    return f'<html lang="{lang}"><head>{head_meta}</head><body>{body}</body></html>'
 
 
 def _synth_rich_batches(batches):
@@ -193,8 +216,8 @@ def _synth_rich_batches(batches):
             {
                 "doc_id": pdf["doc_id"],
                 "html": [
-                    _rich_html(int(d), t)
-                    for d, t in zip(pdf["doc_id"], pdf["text"])
+                    _rich_html(int(d), t, lang)
+                    for d, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
                 ],
             }
         )
@@ -209,7 +232,7 @@ def rich_html_docs(spark, sf_dir):
     def build():
         (docs,) = load_tables(spark, sf_dir, "documents")
         return (
-            docs.select("doc_id", "text")
+            docs.select("doc_id", "text", "lang")
             .repartition(spark.sparkContext.defaultParallelism)
             .mapInPandas(_synth_rich_batches, schema=DOM_HTML_SCHEMA)
         )
@@ -242,6 +265,63 @@ def dom_main_content(spark, sf_dir):
 
 
 ORACLE_DOM_MAIN = "SELECT doc_id, text AS main_text FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Structured-metadata extraction (head-side complement of main content):
+# title / lang / description / OpenGraph / canonical URL / publication
+# date / JSON-LD type+headline per document, from the same tolerant DOM
+# parse. Per-document independent -> one scan + one Arrow mapInPandas
+# stage, no shuffle; at 100 TB it pipelines with the content strip.
+HTML_META_SCHEMA = (
+    "doc_id bigint, title string, lang string, description string, "
+    "og_title string, published string, canonical_url string, "
+    "jsonld_type string, jsonld_headline string"
+)
+
+
+def _meta_extract_batches(batches):
+    from ..dom import extract_metadata
+
+    for pdf in batches:
+        metas = [extract_metadata(h) for h in pdf["html"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "title": [m["title"] for m in metas],
+                "lang": [m["lang"] for m in metas],
+                "description": [m["description"] for m in metas],
+                "og_title": [m["og_title"] for m in metas],
+                "published": [m["published"] for m in metas],
+                "canonical_url": [m["canonical_url"] for m in metas],
+                "jsonld_type": [m["jsonld_type"] for m in metas],
+                "jsonld_headline": [m["jsonld_headline"] for m in metas],
+            }
+        )
+
+
+def html_metadata(spark, sf_dir):
+    """Structured metadata over the pre-landed hard HTML corpus; the
+    oracle reconstructs every field closed-form from the source row."""
+    docs = rich_html_docs(spark, sf_dir)
+    return docs.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        _meta_extract_batches, schema=HTML_META_SCHEMA
+    )
+
+
+ORACLE_HTML_META = """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       lang,
+       array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ') AS description,
+       'Doc ' || doc_id || ' | corpus' AS og_title,
+       strftime(DATE '2024-01-01' + CAST(doc_id % 365 AS INT), '%Y-%m-%d') AS published,
+       'https://corpus.example/doc/' || doc_id AS canonical_url,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Article'
+            WHEN 1 THEN 'NewsArticle' ELSE 'BlogPosting' END AS jsonld_type,
+       'Doc ' || doc_id AS jsonld_headline
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +574,7 @@ ORACLE_PDF_LAYOUT = "SELECT doc_id, text AS layout_text FROM documents"
 QUERIES = {
     "html_main_content": html_main_content,
     "dom_main_content": dom_main_content,
+    "html_metadata": html_metadata,
     "repeated_passage_spans": repeated_passage_spans,
     "pdf_text_extraction": pdf_text_extraction,
     "pdf_layout_extraction": pdf_layout_extraction,
@@ -502,6 +583,7 @@ QUERIES = {
 ORACLES = {
     "html_main_content": ORACLE_MAIN_CONTENT,
     "dom_main_content": ORACLE_DOM_MAIN,
+    "html_metadata": ORACLE_HTML_META,
     "repeated_passage_spans": ORACLE_REPEATED_PASSAGES,
     "pdf_text_extraction": ORACLE_PDF_TEXT,
     "pdf_layout_extraction": ORACLE_PDF_LAYOUT,

@@ -124,3 +124,68 @@ def test_spark_dom_corpus_exact_recovery(spark):
         for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
     }
     assert got == want
+
+
+def test_extract_metadata_full_head():
+    from ocrs_spark.dom import extract_metadata
+
+    html = (
+        '<html lang="fr"><head><title>My  Title</title>'
+        '<meta name="description" content="a summary here">'
+        '<meta property="og:title" content="OG Title">'
+        '<meta property="og:description" content="OG Desc">'
+        '<meta property="article:published_time" content="2024-03-04">'
+        '<link rel="canonical" href="https://x.org/a">'
+        '<script type="application/ld+json">'
+        '{"@type": "NewsArticle", "headline": "H"}</script>'
+        "</head><body><p>body text</p></body></html>"
+    )
+    m = extract_metadata(html)
+    assert m["title"] == "My Title"  # whitespace collapsed
+    assert m["lang"] == "fr"
+    assert m["description"] == "a summary here"
+    assert m["og_title"] == "OG Title"
+    assert m["og_description"] == "OG Desc"
+    assert m["published"] == "2024-03-04"
+    assert m["canonical_url"] == "https://x.org/a"
+    assert m["jsonld_type"] == "NewsArticle"
+    assert m["jsonld_headline"] == "H"
+
+
+def test_extract_metadata_tolerates_junk():
+    from ocrs_spark.dom import extract_metadata
+
+    # malformed JSON-LD, list-form JSON-LD, missing fields, rel lists
+    m = extract_metadata(
+        '<html><head><script type="application/ld+json">{not json'
+        "</script></head></html>"
+    )
+    assert m["jsonld_type"] is None and m["title"] is None
+
+    m = extract_metadata(
+        '<html><head><script type="application/ld+json">'
+        '[{"@type": "Article"}]</script>'
+        '<link rel="alternate canonical" href="/c"></head></html>'
+    )
+    assert m["jsonld_type"] == "Article"
+    assert m["canonical_url"] == "/c"
+
+    # first occurrence wins; later duplicates ignored
+    m = extract_metadata(
+        "<html><head><title>first</title><title>second</title></head></html>"
+    )
+    assert m["title"] == "first"
+
+    # no head at all
+    m = extract_metadata("<p>just a paragraph</p>")
+    assert all(v is None for v in m.values())
+
+
+def test_metadata_head_never_leaks_into_main_content():
+    from ocrs_spark.dom import extract_main_content
+    from ocrs_spark.ops.webdoc import _rich_html
+
+    html = _rich_html(7, "the quick brown fox jumps over the lazy dog", "en")
+    main = extract_main_content(html)
+    assert main == "the quick brown fox jumps over the lazy dog"
+    assert "corpus.example" not in main and "ld+json" not in main
