@@ -36,13 +36,15 @@ def build_engine(args) -> OcrEngine:
                 beam_width=100 if args.beam else None,
             )
         )
-    from .models import OnnxModel
+    from .models import OnnxModel, resolve_model_source
 
     if not (args.detect_model and args.rec_model):
         raise SystemExit("--detect-model and --rec-model required (or use --fake-models)")
-    with open(args.detect_model, "rb") as f:
+    # URL or path, like the reference CLI (ocrs-cli/src/models.rs:100-107):
+    # URLs download once into ~/.cache/ocrs and are reused offline after.
+    with open(resolve_model_source(args.detect_model), "rb") as f:
         det = OnnxModel(f.read())
-    with open(args.rec_model, "rb") as f:
+    with open(resolve_model_source(args.rec_model), "rb") as f:
         rec = OnnxModel(f.read())
     return OcrEngine(
         OcrEngineParams(

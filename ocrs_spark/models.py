@@ -109,3 +109,84 @@ class OnnxModel(Model):
     def run(self, input: np.ndarray) -> np.ndarray:
         (out,) = self._session.run(None, {self._input.name: np.asarray(input, dtype=np.float32)})
         return out
+
+
+# ---------------------------------------------------------------------------
+# Model-source resolution (parity: ocrs-cli/src/models.rs:14-107).
+# The reference CLI accepts a URL or a local path for each model,
+# downloads URLs once into ~/.cache/ocrs/<filename>, and reuses the
+# cached copy on every later run. Same contract here, with the fetch
+# itself injectable so the resolution logic is testable (and usable)
+# without network access; the default fetcher is stdlib urllib. In a
+# Spark job the driver resolves the source once and broadcasts the
+# bytes / ships the file via SparkFiles — executors never fetch.
+
+# Default model URLs published by the reference CLI
+# (ocrs-cli/src/main.rs:305-309). The reference serves .rten; the same
+# bucket's ONNX exports (ocrs/examples/download-models.sh) are what
+# OnnxModel consumes.
+DETECTION_MODEL_URL = (
+    "https://ocrs-models.s3-accelerate.amazonaws.com/text-detection.rten"
+)
+RECOGNITION_MODEL_URL = (
+    "https://ocrs-models.s3-accelerate.amazonaws.com/text-recognition.rten"
+)
+
+
+def cache_dir() -> str:
+    """``~/.cache/ocrs``, created if missing (models.rs:17-26)."""
+    import os
+
+    d = os.path.join(os.path.expanduser("~"), ".cache", "ocrs")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def filename_from_url(url: str) -> str | None:
+    """Last path segment of ``url``, or None if it has no usable file
+    name (models.rs:31-39)."""
+    from urllib.parse import urlparse
+
+    name = urlparse(url).path.rsplit("/", 1)[-1]
+    return name or None
+
+
+def _default_fetcher(url: str) -> bytes:  # pragma: no cover - needs network
+    from urllib.request import urlopen
+
+    with urlopen(url) as resp:
+        return resp.read()
+
+
+def download_file(url: str, filename: str | None = None, fetcher=None) -> str:
+    """Fetch ``url`` into the cache unless already present; return the
+    local path (models.rs:44-64). ``fetcher``: url -> bytes (default:
+    urllib). The cache hit never calls the fetcher, so repeated runs
+    are offline-safe once a model is cached."""
+    import os
+
+    name = filename or filename_from_url(url)
+    if name is None:
+        raise ValueError(f"could not derive a destination filename from {url!r}")
+    path = os.path.join(cache_dir(), name)
+    if os.path.exists(path):
+        return path
+    data = (fetcher or _default_fetcher)(url)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic: concurrent resolvers never see a torn file
+    return path
+
+
+def resolve_model_source(source: str, fetcher=None) -> str:
+    """URL or local path -> local path (ModelSource, models.rs:74-107):
+    http(s) URLs download-and-cache; anything else must be an existing
+    file."""
+    import os
+
+    if source.startswith(("http://", "https://")):
+        return download_file(source, fetcher=fetcher)
+    if not os.path.exists(source):
+        raise FileNotFoundError(f"model file not found: {source}")
+    return source

@@ -94,6 +94,49 @@ def bucket_table(spark, sf_dir: str):
     return IcebergTable.load(loc), s1
 
 
+def maintained_table(spark, sf_dir: str):
+    """documents -> identity(lang) table built the way a long-lived
+    ingest degrades it (four interleaved appends: every file spans the
+    full doc_id range, four manifests), then repaired by the
+    maintenance path under test: ``set_sort_order("doc_id")`` + sorted
+    ``compact`` (range-clustered files, tight bounds) +
+    ``rewrite_manifests`` (one manifest). The scan row over it proves
+    the whole repair preserved every row value."""
+    key = (spark.sparkContext.applicationId, sf_dir, "maintained")
+    if key not in _TABLES:
+        _register_cleanup()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        loc = tempfile.mkdtemp(prefix="ocrs_icb_")
+        _TEMP_DIRS.append(loc)
+        table = IcebergTable.create(
+            loc, docs.schema, partition_by=[("lang", "identity")]
+        )
+        for i in range(4):
+            table.append(docs.filter(F.col("doc_id") % 4 == i))
+        table.set_sort_order(["doc_id"])
+        table.compact(spark, target_files_per_partition=4)
+        table.rewrite_manifests()
+        _TABLES[key] = (loc, None, None)
+    loc, _, _ = _TABLES[key]
+    return IcebergTable.load(loc)
+
+
+SORTED_RANGE = (120, 219)
+
+
+def iceberg_sorted_range_scan(spark, sf_dir: str):
+    """Range scan over the maintained table: per-file doc_id bounds
+    (tight after the sorted rewrite) prune most files before the read;
+    the residual filter proves values, pytest proves the skipping."""
+    lo, hi = SORTED_RANGE
+    table = maintained_table(spark, sf_dir)
+    return (
+        table.scan(spark, bounds_filter={"doc_id": (lo, hi)})
+        .filter(F.col("doc_id").between(lo, hi))
+        .select(*_COLS)
+    )
+
+
 _COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
@@ -131,6 +174,7 @@ QUERIES = {
     "iceberg_time_travel_scan": iceberg_time_travel_scan,
     "iceberg_partition_pruned_scan": iceberg_partition_pruned_scan,
     "iceberg_bucket_point_lookup": iceberg_bucket_point_lookup,
+    "iceberg_sorted_range_scan": iceberg_sorted_range_scan,
 }
 
 ORACLES = {
@@ -148,5 +192,9 @@ ORACLES = {
     "iceberg_bucket_point_lookup": (
         "SELECT doc_id, text, lang, source, n_chars FROM documents "
         f"WHERE doc_id IN ({', '.join(str(i) for i in LOOKUP_IDS)})"
+    ),
+    "iceberg_sorted_range_scan": (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents "
+        f"WHERE doc_id BETWEEN {SORTED_RANGE[0]} AND {SORTED_RANGE[1]}"
     ),
 }

@@ -112,3 +112,37 @@ def test_missing_models_raise():
     engine2 = det_engine()
     with pytest.raises(RuntimeError, match="Recognition model"):
         engine2.recognize_text(grey, [])
+
+
+def test_model_source_resolution_cache_contract(tmp_path, monkeypatch):
+    """URL sources download once into ~/.cache/ocrs and are reused;
+    path sources pass through; junk URLs fail loud (models.rs:14-107)."""
+    from ocrs_spark import models as m
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    calls = []
+
+    def fetcher(url):
+        calls.append(url)
+        return b"model-bytes"
+
+    assert m.filename_from_url("https://x.org/a/b/det.rten") == "det.rten"
+    assert m.filename_from_url("https://x.org/") is None
+
+    p1 = m.resolve_model_source("https://x.org/m/det.rten", fetcher=fetcher)
+    assert p1.endswith("/.cache/ocrs/det.rten")
+    assert open(p1, "rb").read() == b"model-bytes"
+    # second resolve: cache hit, fetcher NOT called again
+    p2 = m.resolve_model_source("https://x.org/m/det.rten", fetcher=fetcher)
+    assert p2 == p1 and calls == ["https://x.org/m/det.rten"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="filename"):
+        m.download_file("https://x.org/", fetcher=fetcher)
+
+    local = tmp_path / "local.onnx"
+    local.write_bytes(b"x")
+    assert m.resolve_model_source(str(local)) == str(local)
+    with _pytest.raises(FileNotFoundError):
+        m.resolve_model_source(str(tmp_path / "missing.onnx"))

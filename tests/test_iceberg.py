@@ -824,3 +824,16 @@ def test_sorted_compaction_tightens_bounds_for_pruning(spark, docs, tmp_path):
         "doc_id = 123"
     )
     assert got.count() == 1
+
+
+def test_sorted_range_scan_row_prunes_files(spark):
+    """The registry row's maintained table must actually skip files:
+    one manifest, and the range scan reads a minority of them."""
+    from ocrs_spark.ops.icebergops import SORTED_RANGE, maintained_table
+
+    table = maintained_table(spark, SF)
+    _, stats = table.plan_files(
+        bounds_filter={"doc_id": SORTED_RANGE}
+    )
+    assert stats["manifests_total"] == 1  # rewrite_manifests folded them
+    assert stats["files_selected"] < stats["files_total"]
