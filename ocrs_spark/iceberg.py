@@ -1311,6 +1311,54 @@ class IcebergTable:
             "is_current_ancestor boolean",
         )
 
+    def inspect_manifests(self, spark: SparkSession) -> DataFrame:
+        """The ``<table>.manifests`` metadata table: one row per manifest
+        of the current snapshot — the observable `rewrite_manifests`
+        acts on. Metadata-scale (reads one manifest list)."""
+        sid = self.current_snapshot_id()
+        rows = []
+        if sid is not None:
+            snap = next(
+                s for s in self.metadata["snapshots"] if s["snapshot-id"] == sid
+            )
+            manifests, _ = read_ocf(snap["manifest-list"])
+            rows = [
+                (
+                    m["manifest_path"],
+                    m["manifest_length"],
+                    m["partition_spec_id"],
+                    int(m.get("content", 0)),
+                    m["sequence_number"],
+                    m["min_sequence_number"],
+                    m["added_snapshot_id"],
+                    m["added_files_count"],
+                    m["existing_files_count"],
+                    m["deleted_files_count"],
+                    m["added_rows_count"],
+                    m["existing_rows_count"],
+                )
+                for m in manifests
+            ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "sequence_number long, min_sequence_number long, "
+            "added_snapshot_id long, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int, "
+            "added_rows_count long, existing_rows_count long",
+        )
+
+    def inspect_refs(self, spark: SparkSession) -> DataFrame:
+        """The ``<table>.refs`` metadata table: every named branch/tag
+        and the snapshot it pins."""
+        rows = [
+            (name, r["type"], r["snapshot-id"])
+            for name, r in sorted(self.metadata.get("refs", {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
     # -- maintenance ----------------------------------------------------------
 
     def set_sort_order(self, columns: list) -> int:

@@ -29,12 +29,13 @@ def all_queries():
         skew,
         streamrows,
         textstats,
+        urlnorm,
         webarchive,
         webdoc,
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm):
         out.update(mod.QUERIES)
     return out
 
@@ -51,11 +52,12 @@ def all_oracles():
         skew,
         streamrows,
         textstats,
+        urlnorm,
         webarchive,
         webdoc,
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm):
         out.update(mod.ORACLES)
     return out

@@ -837,3 +837,30 @@ def test_sorted_range_scan_row_prunes_files(spark):
     )
     assert stats["manifests_total"] == 1  # rewrite_manifests folded them
     assert stats["files_selected"] < stats["files_total"]
+
+
+def test_manifests_and_refs_metadata_tables(spark, docs, tmp_path):
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    for i in range(3):
+        t.append(docs.filter(F.col("doc_id") % 3 == i))
+    t.create_ref("train-v1")
+    t.append(docs.withColumn("doc_id", F.col("doc_id") + 10000), branch="audit")
+
+    m = t.inspect_manifests(spark).toPandas()
+    assert len(m) == 3  # main head: one manifest per append
+    assert set(m["content"]) == {0}
+    assert (m["added_data_files_count"] > 0).all()
+    assert m["sequence_number"].is_monotonic_decreasing or len(set(m["sequence_number"])) == 3
+
+    r = t.inspect_refs(spark).toPandas().set_index("name")
+    assert set(r.index) == {"main", "train-v1", "audit"}
+    assert r.loc["train-v1", "type"] == "tag"
+    assert r.loc["audit", "type"] == "branch"
+    assert r.loc["main", "snapshot_id"] == t.current_snapshot_id()
+    assert r.loc["audit", "snapshot_id"] != t.current_snapshot_id()
+
+    t.rewrite_manifests()
+    m2 = t.inspect_manifests(spark).toPandas()
+    assert len(m2) == 1
+    # the fold preserves every live data file as EXISTING
+    assert m2["existing_data_files_count"].iloc[0] == m["added_data_files_count"].sum()
