@@ -317,8 +317,69 @@ WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Unicode text cleaning: NFC normalization + control/format-char strip +
+# whitespace collapse — the first pass of any multilingual training-data
+# pipeline (mojibake-adjacent NFD sequences, zero-width joiners, stray
+# control bytes all break tokenizer and dedup keys). The corpus plants
+# four deterministic messiness variants; variant 0's oracle applies
+# DuckDB's OWN nfc_normalize (ICU) against Python's unicodedata NFC, so
+# two independent Unicode implementations must agree on the composed
+# form. Arrow-batched pandas UDF per document, no shuffle.
+
+_MESSY_TEXT = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    # NFD suffix: 'Cafe' + COMBINING ACUTE (U+0301) must compose
+    "WHEN 0 THEN concat(text, ' Cafe\u0301') "
+    # control char (BEL) + zero-width space prefix: stripped
+    "WHEN 1 THEN concat('\u0007\u200b', text) "
+    # doubled spaces: collapsed
+    "WHEN 2 THEN regexp_replace(text, ' ', '  ') "
+    # tab/space padding + trailing zero-width joiner: trimmed + stripped
+    "ELSE concat('\t ', text, ' \u200d') END"
+)
+
+
+def _clean_series(s):
+    import re as _re
+    import unicodedata as _ud
+
+    def one(t: str) -> str:
+        t = _ud.normalize("NFC", t)
+        t = "".join(
+            ch
+            for ch in t
+            if ch in " \t\n" or _ud.category(ch) not in ("Cc", "Cf")
+        )
+        return _re.sub(r"[ \t\n]+", " ", t).strip()
+
+    return s.map(one)
+
+
+def text_clean(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    clean = pandas_udf(_clean_series, "string")
+    return docs.select(
+        "doc_id",
+        clean(F.expr(_MESSY_TEXT)).alias("clean_text"),
+    )
+
+
+ORACLE_TEXT_CLEAN = """
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+   WHEN 0 THEN nfc_normalize(text || ' Cafe' || chr(769))
+   ELSE text
+  END AS clean_text
+FROM documents
+"""
+
+
 QUERIES = {
     "lang_id_markers": lang_id_markers,
+    "text_clean": text_clean,
     "quality_score": quality_score,
     "token_counts": token_counts,
     "text_profile": text_profile,

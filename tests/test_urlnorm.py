@@ -45,3 +45,30 @@ def test_normalization_idempotent(spark):
     once = [u for u, _h in _norm(spark, urls)]
     twice = [u for u, _h in _norm(spark, once)]
     assert once == twice
+
+
+def test_text_clean_rules(spark):
+    """Handcrafted messy strings through the cleaning kernel (not the
+    planted corpus variants): NFD composition, control/format strip,
+    whitespace collapse, and newline handling."""
+    from ocrs_spark.ops.textstats import _clean_series
+    import pandas as pd
+
+    got = list(
+        _clean_series(
+            pd.Series(
+                [
+                    "Cafe\u0301 au lait",          # NFD -> composed
+                    "a\u0007\u0008bc",              # controls stripped
+                    "x\u200by\u200dz\ufeffw",       # format chars stripped
+                    "  a \t b \n\n c  ",            # whitespace collapsed
+                    "ya\u0308 NFD umlaut",          # combining diaeresis
+                ]
+            )
+        )
+    )
+    assert got[0] == "Caf\u00e9 au lait"
+    assert got[1] == "abc"
+    assert got[2] == "xyzw"
+    assert got[3] == "a b c"
+    assert got[4] == "y\u00e4 NFD umlaut"
