@@ -25,6 +25,7 @@ def all_queries():
         multimodal,
         pdfmixed,
         relational,
+        robotsops,
         similarity,
         skew,
         streamrows,
@@ -35,7 +36,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -48,6 +49,7 @@ def all_oracles():
         multimodal,
         pdfmixed,
         relational,
+        robotsops,
         similarity,
         skew,
         streamrows,
@@ -58,6 +60,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm):
+    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
