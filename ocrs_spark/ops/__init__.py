@@ -19,6 +19,7 @@ def load_tables(spark, sf_dir: str, *names: str):
 
 def all_queries():
     from . import (
+        bpe,
         dedup,
         icebergops,
         linkgraph,
@@ -36,13 +37,14 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     from . import (
+        bpe,
         dedup,
         icebergops,
         linkgraph,
@@ -60,6 +62,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
