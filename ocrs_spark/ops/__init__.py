@@ -21,6 +21,7 @@ def all_queries():
     from . import (
         bpe,
         dedup,
+        gopher,
         icebergops,
         linkgraph,
         multimodal,
@@ -37,7 +38,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -46,6 +47,7 @@ def all_oracles():
     from . import (
         bpe,
         dedup,
+        gopher,
         icebergops,
         linkgraph,
         multimodal,
@@ -62,6 +64,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
