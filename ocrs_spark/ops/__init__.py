@@ -21,6 +21,7 @@ def all_queries():
     from . import (
         bpe,
         dedup,
+        dedupgraph,
         gopher,
         icebergops,
         linkgraph,
@@ -38,7 +39,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -47,6 +48,7 @@ def all_oracles():
     from . import (
         bpe,
         dedup,
+        dedupgraph,
         gopher,
         icebergops,
         linkgraph,
@@ -64,6 +66,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
