@@ -27,6 +27,7 @@ def all_queries():
         linkgraph,
         multimodal,
         pdfmixed,
+        pii,
         relational,
         robotsops,
         similarity,
@@ -39,7 +40,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, multimodal, skew, pii, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -54,6 +55,7 @@ def all_oracles():
         linkgraph,
         multimodal,
         pdfmixed,
+        pii,
         relational,
         robotsops,
         similarity,
@@ -66,6 +68,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, multimodal, skew, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, multimodal, skew, pii, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
