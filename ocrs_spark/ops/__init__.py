@@ -25,6 +25,7 @@ def all_queries():
         gopher,
         icebergops,
         linkgraph,
+        mixture,
         multimodal,
         pdfmixed,
         pii,
@@ -40,7 +41,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, multimodal, skew, pii, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, mixture, multimodal, skew, pii, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -53,6 +54,7 @@ def all_oracles():
         gopher,
         icebergops,
         linkgraph,
+        mixture,
         multimodal,
         pdfmixed,
         pii,
@@ -68,6 +70,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, multimodal, skew, pii, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, mixture, multimodal, skew, pii, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
