@@ -89,6 +89,16 @@ HEADLINE = [
     "ann_recall",
     "salted_event_user_stats",
     "curate_training_corpus",
+    "gopher_quality_signals",
+    "dedup_clusters",
+    "pii_redaction",
+    "corpus_mixture",
+    "bpe_token_counts",
+    "url_normalized",
+    "robots_allowed",
+    "text_clean",
+    "html_metadata",
+    "iceberg_sorted_range_scan",
     "ocr_image_span_texts",
 ]
 

@@ -27,6 +27,7 @@ def all_queries():
         linkgraph,
         mixture,
         multimodal,
+        packing,
         pdfmixed,
         pii,
         relational,
@@ -41,7 +42,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, mixture, multimodal, skew, pii, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -56,6 +57,7 @@ def all_oracles():
         linkgraph,
         mixture,
         multimodal,
+        packing,
         pdfmixed,
         pii,
         relational,
@@ -70,6 +72,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, mixture, multimodal, skew, pii, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
