@@ -24,6 +24,7 @@ def all_queries():
         dedupgraph,
         gopher,
         icebergops,
+        imagededup,
         linkgraph,
         mixture,
         multimodal,
@@ -42,7 +43,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -54,6 +55,7 @@ def all_oracles():
         dedupgraph,
         gopher,
         icebergops,
+        imagededup,
         linkgraph,
         mixture,
         multimodal,
@@ -72,6 +74,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, dedup, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
