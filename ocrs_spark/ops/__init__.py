@@ -26,6 +26,7 @@ def all_queries():
         icebergops,
         imagededup,
         linkgraph,
+        lmscore,
         mixture,
         multimodal,
         packing,
@@ -43,7 +44,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -57,6 +58,7 @@ def all_oracles():
         icebergops,
         imagededup,
         linkgraph,
+        lmscore,
         mixture,
         multimodal,
         packing,
@@ -74,6 +76,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, dedup, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
