@@ -99,6 +99,9 @@ HEADLINE = [
     "text_clean",
     "html_metadata",
     "iceberg_sorted_range_scan",
+    "lm_perplexity",
+    "sequence_packing",
+    "image_dhash_pairs",
     "ocr_image_span_texts",
 ]
 
