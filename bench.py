@@ -102,6 +102,8 @@ HEADLINE = [
     "lm_perplexity",
     "sequence_packing",
     "image_dhash_pairs",
+    "decontamination",
+    "curate_web_corpus",
     "ocr_image_span_texts",
 ]
 

@@ -21,6 +21,8 @@ def all_queries():
     from . import (
         bpe,
         dedup,
+        curation,
+        decontam,
         dedupgraph,
         gopher,
         icebergops,
@@ -44,7 +46,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -53,6 +55,8 @@ def all_oracles():
     from . import (
         bpe,
         dedup,
+        curation,
+        decontam,
         dedupgraph,
         gopher,
         icebergops,
@@ -76,6 +80,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
