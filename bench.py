@@ -104,6 +104,10 @@ HEADLINE = [
     "image_dhash_pairs",
     "decontamination",
     "curate_web_corpus",
+    "semantic_dedup",
+    "nb_lang_classifier",
+    "chunk_documents",
+    "bm25_search",
     "ocr_image_span_texts",
 ]
 

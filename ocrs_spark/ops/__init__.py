@@ -31,11 +31,14 @@ def all_queries():
         lmscore,
         mixture,
         multimodal,
+        nbclassify,
         packing,
         pdfmixed,
         pii,
         relational,
+        retrieval,
         robotsops,
+        semdedup,
         similarity,
         skew,
         streamrows,
@@ -46,7 +49,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, retrieval, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -65,11 +68,14 @@ def all_oracles():
         lmscore,
         mixture,
         multimodal,
+        nbclassify,
         packing,
         pdfmixed,
         pii,
         relational,
+        retrieval,
         robotsops,
+        semdedup,
         similarity,
         skew,
         streamrows,
@@ -80,6 +86,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, similarity, textstats, mixture, multimodal, skew, pii, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, retrieval, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out

@@ -75,7 +75,10 @@ def decontamination(spark, sf_dir):
     )
     return (
         docs.select("doc_id")
-        .join(hits, "doc_id", "left")
+        # hits holds only contaminated docs — a vanishing fraction of the
+        # corpus — so the rollup join back broadcasts it rather than
+        # shuffling every doc_id into a sort-merge join.
+        .join(F.broadcast(hits), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),

@@ -282,3 +282,50 @@ def test_repeated_passages_partial_aggregates(spark):
     plan = plan_of(repeated_passage_spans(spark, SF_DIR))
     assert re.search(r"HashAggregate.*partial", plan, re.S)
     assert "SortMergeJoin" not in plan and "EvalPython" not in plan
+
+
+def test_decontamination_is_broadcast_semi_shape(spark):
+    """The eval n-gram table must broadcast: contamination checking at
+    100 TB is one corpus scan + a broadcast hash join — a shuffled
+    (sort-merge) join on the gram key would shuffle the whole exploded
+    corpus."""
+    from ocrs_spark.ops.decontam import decontamination
+
+    plan = plan_of(decontamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_rides_the_scan(spark):
+    """Chunking is a per-row projection + explode: no Exchange at all."""
+    from ocrs_spark.ops.retrieval import chunk_documents
+
+    plan = plan_of(chunk_documents(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "media_ref" not in m.group(1)  # column pruning holds
+
+
+def test_bm25_filters_to_query_vocab_before_any_shuffle(spark):
+    """The query-term IN filter must sit below the tf aggregation, so
+    the grouped state is O(matching docs x query terms) not O(corpus
+    vocabulary); query/df/corpus-stat sides must broadcast."""
+    from ocrs_spark.ops.retrieval import bm25_search
+
+    plan = plan_of(bm25_search(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the IN-list filter appears (token IN (...)) before aggregation
+    assert re.search(r"token#\d+ IN \(", plan)
+
+
+def test_semdedup_assignment_stays_narrow(spark):
+    """SemDeDup's centroid assignment inherits ivf_assignments' shape:
+    the only Exchange below the per-cluster kernel is the hash
+    partition on centroid_id feeding applyInPandas."""
+    from ocrs_spark.ops.semdedup import semantic_dedup
+
+    plan = plan_of(semantic_dedup(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "CrossJoin" not in plan
