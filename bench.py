@@ -108,6 +108,9 @@ HEADLINE = [
     "nb_lang_classifier",
     "chunk_documents",
     "bm25_search",
+    "data_profile",
+    "data_quality_checks",
+    "export_shards",
     "ocr_image_span_texts",
 ]
 

@@ -35,10 +35,12 @@ def all_queries():
         packing,
         pdfmixed,
         pii,
+        profiling,
         relational,
         retrieval,
         robotsops,
         semdedup,
+        shardexport,
         similarity,
         skew,
         streamrows,
@@ -49,7 +51,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, retrieval, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -72,10 +74,12 @@ def all_oracles():
         packing,
         pdfmixed,
         pii,
+        profiling,
         relational,
         retrieval,
         robotsops,
         semdedup,
+        shardexport,
         similarity,
         skew,
         streamrows,
@@ -86,6 +90,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, retrieval, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
