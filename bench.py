@@ -111,6 +111,8 @@ HEADLINE = [
     "data_profile",
     "data_quality_checks",
     "export_shards",
+    "anchor_text_index",
+    "crawl_frontier",
     "ocr_image_span_texts",
 ]
 

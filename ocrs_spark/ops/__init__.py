@@ -20,6 +20,7 @@ def load_tables(spark, sf_dir: str, *names: str):
 def all_queries():
     from . import (
         bpe,
+        crawlplan,
         dedup,
         curation,
         decontam,
@@ -51,7 +52,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -59,6 +60,7 @@ def all_queries():
 def all_oracles():
     from . import (
         bpe,
+        crawlplan,
         dedup,
         curation,
         decontam,
@@ -90,6 +92,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out

@@ -85,3 +85,28 @@ def test_oracle_parity(spark):
     )
     b, cb = _rowset(ocols, orows)
     assert ca == cb and a == b
+
+
+def test_partition_invariance(spark):
+    """Cluster grouping and the kept verdict must not depend on how the
+    input happens to be partitioned (applyInPandas groups globally)."""
+    from ocrs_spark.ops import semdedup
+
+    (emb,) = __import__(
+        "ocrs_spark.ops", fromlist=["load_tables"]
+    ).load_tables(spark, SF, "embeddings")
+    orig = semdedup.load_tables
+    try:
+        for parts in (1, 7):
+            shuffled = emb.repartition(parts)
+            semdedup.load_tables = lambda s, d, *n, _df=shuffled: (_df,)
+            got = sorted(
+                (r["vec_id"], r["centroid_id"], r["kept"])
+                for r in semantic_dedup(spark, "x").collect()
+            )
+            if parts == 1:
+                base = got
+            else:
+                assert got == base
+    finally:
+        semdedup.load_tables = orig

@@ -59,3 +59,28 @@ def test_oracle_parity(spark):
     )
     b, cb = _rowset(ocols, orows)
     assert ca == cb and a == b
+
+
+def test_manifest_partition_invariant(spark):
+    """Hash placement is a pure doc_id function: the manifest is
+    identical however the source is partitioned before the write."""
+    from ocrs_spark.ops import shardexport
+
+    (docs,) = __import__(
+        "ocrs_spark.ops", fromlist=["load_tables"]
+    ).load_tables(spark, SF, "documents")
+    orig = shardexport.load_tables
+    try:
+        base = None
+        for parts in (1, 5):
+            shuffled = docs.repartition(parts)
+            shardexport.load_tables = lambda s, d, *n, _df=shuffled: (_df,)
+            got = sorted(
+                tuple(r) for r in export_shards(spark, SF).collect()
+            )
+            if base is None:
+                base = got
+            else:
+                assert got == base
+    finally:
+        shardexport.load_tables = orig
