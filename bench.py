@@ -113,6 +113,7 @@ HEADLINE = [
     "export_shards",
     "anchor_text_index",
     "crawl_frontier",
+    "stream_incremental_curation",
     "ocr_image_span_texts",
 ]
 

@@ -22,6 +22,7 @@ def all_queries():
         bpe,
         crawlplan,
         dedup,
+        curastream,
         curation,
         decontam,
         dedupgraph,
@@ -52,7 +53,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -62,6 +63,7 @@ def all_oracles():
         bpe,
         crawlplan,
         dedup,
+        curastream,
         curation,
         decontam,
         dedupgraph,
@@ -92,6 +94,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
