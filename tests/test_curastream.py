@@ -36,7 +36,8 @@ def test_incremental_verdicts(spark):
         expect_t = "contaminated" if t % EVAL_EVERY == 0 else "duplicate"
         assert byid.loc[PLANT_OFFSET + t, "reason"] == expect_t
     # originals are never flagged duplicate (keep-earliest)
-    assert (byid.loc[: max_id][byid.loc[: max_id, "reason"] == "duplicate"]).empty
+    orig = out[out["doc_id"] <= max_id]
+    assert not (orig["reason"] == "duplicate").any()
 
 
 def test_oracle_parity(spark):
