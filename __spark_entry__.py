@@ -85,11 +85,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # analogues, the from-spec Iceberg scans the north rule mandates
     # (current snapshot + time travel, the resume evidence), and the
     # TPC-H shapes. The 50-row cap displaces the redundant TPC-H tail
-    # (q6/q12/q14/q16/q17/q20, q9/q10/q15/q22, q4/q13, and now q19 —
-    # join+agg / semi-join / outer-join-distribution / disjunctive-scan
-    # variants whose plan families q1/q3/q5/q7/q8/q21 + antijoin_* +
-    # window_topk + decontamination's broadcast-semi-join + left-outer
-    # rollup keep covered; q7 carries the disjunction-pushdown family)
+    # (q6/q12/q14/q16/q17/q20, q9/q10/q15/q22, q4/q13, q19, and now
+    # q18 — join+agg / semi-join / outer-join-distribution /
+    # disjunctive-scan / group-having variants whose plan families
+    # q1/q3/q5/q7/q8/q21 + antijoin_* + window_topk + decontamination's
+    # broadcast-semi-join + left-outer rollup keep covered; q7 carries
+    # the disjunction-pushdown family)
     # to pytest-only: extraction and corpus-curation rows are the
     # graft's core and belong in the hard signal.
     # curate_web_corpus transitively hash-pins gopher_quality_signals,
@@ -108,7 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile", "tfidf_top_terms", "multimodal_decode_meta",
         "salted_event_user_stats", "curate_training_corpus",
         "decontamination", "curate_web_corpus",
-        "stream_incremental_curation",
+        "stream_incremental_curation", "corpus_drift",
         "explode_token_counts", "reweave_roundtrip", "events_sessionize",
         "events_metrics_agg",
         "window_topk_orders_per_customer", "antijoin_customers_without_orders",
@@ -116,7 +117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers",
         "q1_pricing_summary", "q2_best_supplier", "q3_shipping_priority",
         "q5_local_supplier_volume", "q7_volume_shipping",
-        "q18_large_volume_customer",
     ]
     for name in tier2:
         out[name] = pool.pop(name)

@@ -114,6 +114,7 @@ HEADLINE = [
     "anchor_text_index",
     "crawl_frontier",
     "stream_incremental_curation",
+    "corpus_drift",
     "ocr_image_span_texts",
 ]
 

@@ -23,6 +23,7 @@ def all_queries():
         crawlplan,
         dedup,
         curastream,
+        drift,
         curation,
         decontam,
         dedupgraph,
@@ -53,7 +54,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -64,6 +65,7 @@ def all_oracles():
         crawlplan,
         dedup,
         curastream,
+        drift,
         curation,
         decontam,
         dedupgraph,
@@ -94,6 +96,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
