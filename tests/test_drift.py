@@ -51,3 +51,16 @@ def test_no_plant_control_is_quiet(spark):
     )
     assert (psi["psi"] < PSI_ALERT).all(), psi
     assert DRIFT_N > 0  # the contract row, by contrast, plants drift
+
+
+def test_drift_plan_shape(spark):
+    """The PSI gate's 100-TB viability: the histogram reduction does
+    map-side partial aggregation, the per-feature totals join back as
+    broadcasts (bins x features is constant-sized), and no stage drops
+    to row-at-a-time Python."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(corpus_drift(spark, SF))
+    assert "partial_count" in plan or "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
