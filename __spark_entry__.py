@@ -85,12 +85,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # analogues, the from-spec Iceberg scans the north rule mandates
     # (current snapshot + time travel, the resume evidence), and the
     # TPC-H shapes. The 50-row cap displaces the redundant TPC-H tail
-    # (q6/q12/q14/q16/q17/q20, q9/q10/q15/q22, q4/q13, q19, and now
-    # q18 — join+agg / semi-join / outer-join-distribution /
-    # disjunctive-scan / group-having variants whose plan families
-    # q1/q3/q5/q7/q8/q21 + antijoin_* + window_topk + decontamination's
-    # broadcast-semi-join + left-outer rollup keep covered; q7 carries
-    # the disjunction-pushdown family)
+    # (q6/q12/q14/q16/q17/q20, q9/q10/q15/q22, q4/q13, q19, q18, and
+    # now q3/q8 — join+agg+top-N and conditional-share variants whose
+    # plan families q1/q5/q7/q21 + window_topk + corpus_drift's
+    # conditional aggregation keep covered; q7 carries the
+    # disjunction-pushdown family) in favor of the two temporal-join
+    # plan families Spark lacks natively: asof_prior_view (union+
+    # running-window merge — one shuffle, zero join nodes) and
+    # range_join_campaigns (no-equi-key interval join as day-bucket
+    # explode + hash join + residual, never a nested-loop scan).
     # to pytest-only: extraction and corpus-curation rows are the
     # graft's core and belong in the hard signal.
     # curate_web_corpus transitively hash-pins gopher_quality_signals,
@@ -113,9 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_token_counts", "reweave_roundtrip", "events_sessionize",
         "events_metrics_agg",
         "window_topk_orders_per_customer", "antijoin_customers_without_orders",
-        "q8_market_share", "q11_important_stock",
-        "q21_waiting_suppliers",
-        "q1_pricing_summary", "q2_best_supplier", "q3_shipping_priority",
+        "asof_prior_view", "range_join_campaigns",
+        "q11_important_stock", "q21_waiting_suppliers",
+        "q1_pricing_summary", "q2_best_supplier",
         "q5_local_supplier_volume", "q7_volume_shipping",
     ]
     for name in tier2:

@@ -52,6 +52,8 @@ HEADLINE = [
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "window_topk_orders_per_customer",
+    "asof_prior_view",
+    "range_join_campaigns",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

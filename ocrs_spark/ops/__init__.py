@@ -47,6 +47,7 @@ def all_queries():
         similarity,
         skew,
         streamrows,
+        temporal,
         textstats,
         urlnorm,
         webarchive,
@@ -54,7 +55,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -89,6 +90,7 @@ def all_oracles():
         similarity,
         skew,
         streamrows,
+        temporal,
         textstats,
         urlnorm,
         webarchive,
@@ -96,6 +98,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
