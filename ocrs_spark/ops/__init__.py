@@ -39,6 +39,7 @@ def all_queries():
         pdfmixed,
         pii,
         profiling,
+        quantiles,
         relational,
         retrieval,
         robotsops,
@@ -55,7 +56,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -82,6 +83,7 @@ def all_oracles():
         pdfmixed,
         pii,
         profiling,
+        quantiles,
         relational,
         retrieval,
         robotsops,
@@ -98,6 +100,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
