@@ -54,6 +54,8 @@ HEADLINE = [
     "window_topk_orders_per_customer",
     "asof_prior_view",
     "range_join_campaigns",
+    "caption_pairs",
+    "caption_alignment_topk",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

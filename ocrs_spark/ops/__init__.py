@@ -20,6 +20,7 @@ def load_tables(spark, sf_dir: str, *names: str):
 def all_queries():
     from . import (
         bpe,
+        captions,
         crawlplan,
         dedup,
         curastream,
@@ -56,7 +57,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -64,6 +65,7 @@ def all_queries():
 def all_oracles():
     from . import (
         bpe,
+        captions,
         crawlplan,
         dedup,
         curastream,
@@ -100,6 +102,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
