@@ -56,6 +56,8 @@ HEADLINE = [
     "range_join_campaigns",
     "caption_pairs",
     "caption_alignment_topk",
+    "filter_model_auc",
+    "filter_model_pr_curve",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

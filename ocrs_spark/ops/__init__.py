@@ -21,6 +21,7 @@ def all_queries():
     from . import (
         bpe,
         captions,
+        classeval,
         crawlplan,
         dedup,
         curastream,
@@ -57,7 +58,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -66,6 +67,7 @@ def all_oracles():
     from . import (
         bpe,
         captions,
+        classeval,
         crawlplan,
         dedup,
         curastream,
@@ -102,6 +104,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
