@@ -58,6 +58,8 @@ HEADLINE = [
     "caption_alignment_topk",
     "filter_model_auc",
     "filter_model_pr_curve",
+    "cluster_safe_split",
+    "host_reputation_rollup",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -30,6 +30,7 @@ def all_queries():
         decontam,
         dedupgraph,
         gopher,
+        hostrep,
         icebergops,
         imagededup,
         linkgraph,
@@ -48,6 +49,7 @@ def all_queries():
         semdedup,
         shardexport,
         similarity,
+        splits,
         skew,
         streamrows,
         temporal,
@@ -58,7 +60,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -76,6 +78,7 @@ def all_oracles():
         decontam,
         dedupgraph,
         gopher,
+        hostrep,
         icebergops,
         imagededup,
         linkgraph,
@@ -94,6 +97,7 @@ def all_oracles():
         semdedup,
         shardexport,
         similarity,
+        splits,
         skew,
         streamrows,
         temporal,
@@ -104,6 +108,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
