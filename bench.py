@@ -60,6 +60,7 @@ HEADLINE = [
     "filter_model_pr_curve",
     "cluster_safe_split",
     "host_reputation_rollup",
+    "temperature_sample",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -43,6 +43,7 @@ def all_queries():
         pii,
         profiling,
         quantiles,
+        quota,
         relational,
         retrieval,
         robotsops,
@@ -60,7 +61,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.QUERIES)
     return out
 
@@ -91,6 +92,7 @@ def all_oracles():
         pii,
         profiling,
         quantiles,
+        quota,
         relational,
         retrieval,
         robotsops,
@@ -108,6 +110,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
         out.update(mod.ORACLES)
     return out
