@@ -61,6 +61,8 @@ HEADLINE = [
     "cluster_safe_split",
     "host_reputation_rollup",
     "temperature_sample",
+    "pmi_collocations",
+    "zorder_layout_pruning",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -22,6 +22,7 @@ def all_queries():
         bpe,
         captions,
         classeval,
+        cooccur,
         crawlplan,
         dedup,
         curastream,
@@ -58,10 +59,11 @@ def all_queries():
         urlnorm,
         webarchive,
         webdoc,
+        zorder,
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -71,6 +73,7 @@ def all_oracles():
         bpe,
         captions,
         classeval,
+        cooccur,
         crawlplan,
         dedup,
         curastream,
@@ -107,9 +110,10 @@ def all_oracles():
         urlnorm,
         webarchive,
         webdoc,
+        zorder,
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
