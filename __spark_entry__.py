@@ -100,6 +100,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lm_perplexity, decontamination, and dedup_clusters in one row;
     # stream_incremental_curation is the curation resume story (growing
     # Iceberg source, frozen-model gates, cross-batch dedup state).
+    # Round-5 swaps: antijoin_customers_without_orders (a 0-row result
+    # — the left-anti family stays pinned through curate_training_
+    # corpus and the resume ledger) -> caption_alignment_topk (pins the
+    # interleaved caption mine + exact-double cosine + salted two-phase
+    # top-k in one row); events_metrics_agg (multi-metric conditional
+    # agg, duplicated by extraction_metrics_run + corpus_drift) ->
+    # temperature_sample (grouped two-phase order-statistics selection,
+    # a plan family nothing else in the contract exercises).
     tier2 = [
         "iceberg_snapshot_scan", "iceberg_time_travel_scan",
         "html_main_content", "dom_main_content", "pdf_text_extraction",
@@ -114,8 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination", "curate_web_corpus",
         "stream_incremental_curation", "corpus_drift",
         "explode_token_counts", "reweave_roundtrip", "events_sessionize",
-        "events_metrics_agg",
-        "window_topk_orders_per_customer", "antijoin_customers_without_orders",
+        "caption_alignment_topk", "temperature_sample",
+        "window_topk_orders_per_customer",
         "asof_prior_view", "range_join_campaigns",
         "q11_important_stock", "q21_waiting_suppliers",
         "q1_pricing_summary", "q2_best_supplier",

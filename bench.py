@@ -63,6 +63,7 @@ HEADLINE = [
     "temperature_sample",
     "pmi_collocations",
     "zorder_layout_pruning",
+    "funnel_conversion",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

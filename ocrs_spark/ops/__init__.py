@@ -27,6 +27,7 @@ def all_queries():
         dedup,
         curastream,
         drift,
+        funnel,
         curation,
         decontam,
         dedupgraph,
@@ -63,7 +64,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -78,6 +79,7 @@ def all_oracles():
         dedup,
         curastream,
         drift,
+        funnel,
         curation,
         decontam,
         dedupgraph,
@@ -114,6 +116,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
