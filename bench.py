@@ -64,6 +64,7 @@ HEADLINE = [
     "pmi_collocations",
     "zorder_layout_pruning",
     "funnel_conversion",
+    "heavy_hitter_tokens",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -32,6 +32,7 @@ def all_queries():
         decontam,
         dedupgraph,
         gopher,
+        heavyhitters,
         hostrep,
         icebergops,
         imagededup,
@@ -64,7 +65,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -84,6 +85,7 @@ def all_oracles():
         decontam,
         dedupgraph,
         gopher,
+        heavyhitters,
         hostrep,
         icebergops,
         imagededup,
@@ -116,6 +118,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out

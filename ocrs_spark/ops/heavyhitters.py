@@ -1,0 +1,117 @@
+"""Heavy-hitter tokens: every token whose corpus frequency exceeds
+N/K, found with a mergeable Misra-Gries sketch + an exact verification
+pass — the frequency member of the engine's mergeable-sketch trio
+(profiling's HLL distinct counts, quantiles' KLL ranks, MG here).
+
+Why not just groupBy(token)? That's the exact pass — and for the FULL
+vocabulary it's a corpus-sized shuffle whose reduce state is the
+vocabulary itself. The MG sketch bounds per-task memory at K counters
+regardless of vocabulary (the 100-TB property), and its classic
+guarantee makes the two-pass split sound: an item's sketch undercount
+is at most that partition's total decrement, so
+
+  candidates := {token : summed sketch count + total decrement >= N/K}
+
+is a SUPERSET of the true heavy set — the exact pass then counts ONLY
+candidates (a broadcast semi-join filter + groupBy over a K-bounded
+key set) and applies the threshold exactly. No heavy item can be
+missed; false candidates die in verification.
+
+The per-partition sketch is vectorized: each Arrow batch folds in via
+value_counts (no per-row Python), and when the counter table exceeds K
+the whole table decrements by its (K+1)-th largest count — the batched
+generalization of MG's decrement step, preserving the undercount
+bound, which the sketch reports per partition as a ledger row.
+
+The driver row is the EXACT final answer (groupBy-having semantics),
+so the DuckDB oracle is plain SQL; the sketch's superset guarantee and
+size bound are pytest-held (same evidence pattern as the KLL sketch).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_tables
+
+K = 200  # sketch capacity; threshold is N/K
+
+_TOKENS = "filter(split(text, ' '), w -> w <> '')"
+
+
+def _mg_partition(k: int):
+    def sketch(batches):
+        counts = pd.Series(dtype="int64")
+        decremented = 0
+        for pdf in batches:
+            vc = pdf["w"].value_counts()
+            counts = counts.add(vc, fill_value=0).astype("int64")
+            if len(counts) > k:
+                # batched MG decrement: subtract the (k+1)-th largest
+                # count from everything; drop the non-positive tail
+                cut = int(counts.nlargest(k + 1).iloc[-1])
+                decremented += cut
+                counts = counts - cut
+                counts = counts[counts > 0]
+        out = pd.DataFrame({"w": counts.index.astype(str), "c": counts.values})
+        out["d"] = 0
+        ledger = pd.DataFrame({"w": ["\x00decr"], "c": [0], "d": [decremented]})
+        yield pd.concat([out, ledger], ignore_index=True)
+
+    return sketch
+
+
+def mg_candidates(toks: DataFrame, k: int = K) -> DataFrame:
+    """(w, est) candidate superset of tokens with freq >= N/k, plus the
+    global undercount bound folded in. ``toks`` is one column ``w``."""
+    summaries = toks.mapInPandas(_mg_partition(k), schema="w string, c long, d long")
+    merged = summaries.groupBy("w").agg(
+        F.sum("c").alias("c"), F.sum("d").alias("d")
+    )
+    bound = merged.agg(F.sum("d").alias("decr"))
+    n = toks.agg(F.count("*").alias("n"))
+    return (
+        merged.filter(F.col("w") != "\x00decr")
+        .crossJoin(F.broadcast(bound))
+        .crossJoin(F.broadcast(n))
+        # undercount <= total decrement; keep if it COULD clear N/k
+        .filter((F.col("c") + F.col("decr")) * k >= F.col("n"))
+        .select("w", F.col("c").alias("est"))
+    )
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
+    """Exact (token, cnt) for every token with cnt * k > N — sketch
+    pass to bound the candidate set, exact pass to count it."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("w"))
+    cand = mg_candidates(toks, k)
+    n = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(cand.select("w")), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select(F.col("w").alias("token"), "cnt")
+    )
+
+
+ORACLE_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS n FROM toks)
+SELECT w AS token, count(*)::BIGINT AS cnt
+FROM toks CROSS JOIN n
+GROUP BY w, n
+HAVING count(*) * {K} > n
+"""
+
+
+QUERIES = {"heavy_hitter_tokens": heavy_hitter_tokens}
+ORACLES = {"heavy_hitter_tokens": ORACLE_HEAVY_HITTERS}
