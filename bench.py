@@ -65,6 +65,7 @@ HEADLINE = [
     "zorder_layout_pruning",
     "funnel_conversion",
     "heavy_hitter_tokens",
+    "extraction_error_rates",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -41,6 +41,7 @@ def all_queries():
         mixture,
         multimodal,
         nbclassify,
+        ocreval,
         packing,
         pdfmixed,
         pii,
@@ -65,7 +66,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -94,6 +95,7 @@ def all_oracles():
         mixture,
         multimodal,
         nbclassify,
+        ocreval,
         packing,
         pdfmixed,
         pii,
@@ -118,6 +120,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
