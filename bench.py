@@ -66,6 +66,7 @@ HEADLINE = [
     "funnel_conversion",
     "heavy_hitter_tokens",
     "extraction_error_rates",
+    "fuzzy_entity_match",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -28,6 +28,7 @@ def all_queries():
         curastream,
         drift,
         funnel,
+        fuzzyjoin,
         curation,
         decontam,
         dedupgraph,
@@ -66,7 +67,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -82,6 +83,7 @@ def all_oracles():
         curastream,
         drift,
         funnel,
+        fuzzyjoin,
         curation,
         decontam,
         dedupgraph,
@@ -120,6 +122,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
