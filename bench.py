@@ -67,6 +67,7 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "extraction_error_rates",
     "fuzzy_entity_match",
+    "graph_triangle_count",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",
