@@ -68,6 +68,7 @@ HEADLINE = [
     "extraction_error_rates",
     "fuzzy_entity_match",
     "graph_triangle_count",
+    "bloom_file_skipping",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -19,6 +19,7 @@ def load_tables(spark, sf_dir: str, *names: str):
 
 def all_queries():
     from . import (
+        bloomskip,
         bpe,
         captions,
         classeval,
@@ -68,13 +69,14 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     from . import (
+        bloomskip,
         bpe,
         captions,
         classeval,
@@ -124,6 +126,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
