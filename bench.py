@@ -69,6 +69,7 @@ HEADLINE = [
     "fuzzy_entity_match",
     "graph_triangle_count",
     "bloom_file_skipping",
+    "doc_skyline",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -58,6 +58,7 @@ def all_queries():
         similarity,
         splits,
         skew,
+        skyline,
         streamrows,
         temporal,
         textstats,
@@ -69,7 +70,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -115,6 +116,7 @@ def all_oracles():
         similarity,
         splits,
         skew,
+        skyline,
         streamrows,
         temporal,
         textstats,
@@ -126,6 +128,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
