@@ -70,6 +70,7 @@ HEADLINE = [
     "graph_triangle_count",
     "bloom_file_skipping",
     "doc_skyline",
+    "user_value_trends",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

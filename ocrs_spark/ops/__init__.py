@@ -62,6 +62,7 @@ def all_queries():
         streamrows,
         temporal,
         textstats,
+        trend,
         triangles,
         urlnorm,
         webarchive,
@@ -70,7 +71,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -120,6 +121,7 @@ def all_oracles():
         streamrows,
         temporal,
         textstats,
+        trend,
         triangles,
         urlnorm,
         webarchive,
@@ -128,6 +130,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out

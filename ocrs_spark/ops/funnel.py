@@ -103,7 +103,7 @@ def _oracle() -> str:
     body = "\nUNION ALL\n".join(unions)
     return f"""
 WITH ev AS (
-  SELECT user_id, event_type, epoch(ts)::BIGINT AS es FROM events
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS es FROM events
 ),
 {", ".join(steps_sql)},
 reach AS ({body})

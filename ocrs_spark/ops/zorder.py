@@ -137,7 +137,7 @@ def _duck_norm(v: str, lo: str, hi: str) -> str:
 
 ORACLE_ZORDER = f"""
 WITH base AS (
-  SELECT user_id::BIGINT AS x, epoch(ts)::BIGINT AS y FROM events
+  SELECT user_id::BIGINT AS x, floor(epoch(ts))::BIGINT AS y FROM events
 ),
 bounds AS (
   SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM base
