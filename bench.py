@@ -71,6 +71,7 @@ HEADLINE = [
     "bloom_file_skipping",
     "doc_skyline",
     "user_value_trends",
+    "ann_pq_topk",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -47,6 +47,7 @@ def all_queries():
         packing,
         pdfmixed,
         pii,
+        pq,
         profiling,
         quantiles,
         quota,
@@ -71,7 +72,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -106,6 +107,7 @@ def all_oracles():
         packing,
         pdfmixed,
         pii,
+        pq,
         profiling,
         quantiles,
         quota,
@@ -130,6 +132,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
