@@ -72,6 +72,7 @@ HEADLINE = [
     "doc_skyline",
     "user_value_trends",
     "ann_pq_topk",
+    "hybrid_rrf_search",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -36,6 +36,7 @@ def all_queries():
         gopher,
         heavyhitters,
         hostrep,
+        hybrid,
         icebergops,
         imagededup,
         linkgraph,
@@ -72,7 +73,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -96,6 +97,7 @@ def all_oracles():
         gopher,
         heavyhitters,
         hostrep,
+        hybrid,
         icebergops,
         imagededup,
         linkgraph,
@@ -132,6 +134,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
