@@ -73,6 +73,7 @@ HEADLINE = [
     "user_value_trends",
     "ann_pq_topk",
     "hybrid_rrf_search",
+    "ivm_merged_view",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -39,6 +39,7 @@ def all_queries():
         hybrid,
         icebergops,
         imagededup,
+        ivm,
         linkgraph,
         lmscore,
         mixture,
@@ -73,7 +74,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -100,6 +101,7 @@ def all_oracles():
         hybrid,
         icebergops,
         imagededup,
+        ivm,
         linkgraph,
         lmscore,
         mixture,
@@ -134,6 +136,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
