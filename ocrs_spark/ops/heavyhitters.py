@@ -42,21 +42,46 @@ K = 200  # sketch capacity; threshold is N/K
 _TOKENS = "filter(split(text, ' '), w -> w <> '')"
 
 
-def _mg_partition(k: int):
+def _mg_partition(k: int, buffer_rows: int = 1 << 16):
+    """MG sketch over one partition. The session pins Arrow batches to
+    64 rows (media payloads elsewhere are huge); paying pandas overhead
+    per 64-row sliver made the scan 10x slower than the explode itself,
+    so slivers buffer to ``buffer_rows`` before each vectorized fold
+    (value_counts -> Counter.update) — memory stays bounded at
+    k + buffer_rows counters between trims."""
+    from collections import Counter
+
+    def _fold(counts: Counter, frames: list) -> int:
+        vc = pd.concat(frames, ignore_index=True).value_counts()
+        counts.update(dict(zip(vc.index, vc.values.tolist())))
+        if len(counts) > k:
+            # batched MG decrement: subtract the (k+1)-th largest
+            # count from everything; drop the non-positive tail
+            cut = sorted(counts.values(), reverse=True)[k]
+            for w in list(counts):
+                left = counts[w] - cut
+                if left > 0:
+                    counts[w] = left
+                else:
+                    del counts[w]
+            return cut
+        return 0
+
     def sketch(batches):
-        counts = pd.Series(dtype="int64")
+        counts: Counter = Counter()
         decremented = 0
+        buf, size = [], 0
         for pdf in batches:
-            vc = pdf["w"].value_counts()
-            counts = counts.add(vc, fill_value=0).astype("int64")
-            if len(counts) > k:
-                # batched MG decrement: subtract the (k+1)-th largest
-                # count from everything; drop the non-positive tail
-                cut = int(counts.nlargest(k + 1).iloc[-1])
-                decremented += cut
-                counts = counts - cut
-                counts = counts[counts > 0]
-        out = pd.DataFrame({"w": counts.index.astype(str), "c": counts.values})
+            buf.append(pdf["w"])
+            size += len(pdf)
+            if size >= buffer_rows:
+                decremented += _fold(counts, buf)
+                buf, size = [], 0
+        if buf:
+            decremented += _fold(counts, buf)
+        out = pd.DataFrame(
+            {"w": list(counts.keys()), "c": list(counts.values())}
+        )
         out["d"] = 0
         ledger = pd.DataFrame({"w": ["\x00decr"], "c": [0], "d": [decremented]})
         yield pd.concat([out, ledger], ignore_index=True)
@@ -64,15 +89,18 @@ def _mg_partition(k: int):
     return sketch
 
 
-def mg_candidates(toks: DataFrame, k: int = K) -> DataFrame:
+def mg_candidates(toks: DataFrame, k: int = K, n: DataFrame | None = None) -> DataFrame:
     """(w, est) candidate superset of tokens with freq >= N/k, plus the
-    global undercount bound folded in. ``toks`` is one column ``w``."""
+    global undercount bound folded in. ``toks`` is one column ``w``;
+    ``n`` is an optional precomputed 1-row (n) total so callers that
+    already know the token count don't pay a second corpus scan."""
     summaries = toks.mapInPandas(_mg_partition(k), schema="w string, c long, d long")
     merged = summaries.groupBy("w").agg(
         F.sum("c").alias("c"), F.sum("d").alias("d")
     )
     bound = merged.agg(F.sum("d").alias("decr"))
-    n = toks.agg(F.count("*").alias("n"))
+    if n is None:
+        n = toks.agg(F.count("*").alias("n"))
     return (
         merged.filter(F.col("w") != "\x00decr")
         .crossJoin(F.broadcast(bound))
@@ -85,11 +113,15 @@ def mg_candidates(toks: DataFrame, k: int = K) -> DataFrame:
 
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
     """Exact (token, cnt) for every token with cnt * k > N — sketch
-    pass to bound the candidate set, exact pass to count it."""
+    pass to bound the candidate set, exact pass to count it. The token
+    total comes from sum(size(tokens)) on the DOCUMENT rows — a codegen
+    projection, not a third explode of the corpus — and the exploded
+    stream exists exactly twice (sketch pass, exact pass), the
+    two-pass minimum the algorithm itself requires."""
     (docs,) = load_tables(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.expr(_TOKENS)).alias("w"))
-    cand = mg_candidates(toks, k)
-    n = toks.agg(F.count("*").alias("n"))
+    n = docs.agg(F.sum(F.size(F.expr(_TOKENS))).cast("long").alias("n"))
+    cand = mg_candidates(toks, k, n)
     return (
         toks.join(F.broadcast(cand.select("w")), "w", "left_semi")
         .groupBy("w")
