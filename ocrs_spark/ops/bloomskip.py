@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_tables
+from .mixture import salted_hash_sql
 
 NFILES = 16
 K_HASHES = 3
@@ -56,10 +57,7 @@ def _key_of(d: str) -> str:
 
 
 def _pos_spark(key: str, j: int) -> str:
-    return (
-        f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), '|b{j}')), 1, 8), 16, 10) AS BIGINT)"
-        f" % {BLOOM_BITS}"
-    )
+    return f"{salted_hash_sql(key, f'|b{j}')} % {BLOOM_BITS}"
 
 
 def _pos_duck(key: str, j: int) -> str:

@@ -3,7 +3,7 @@
 text FROM images; a multimodal training corpus additionally needs the
 text NEXT TO each image, paired and alignment-filtered).
 
-- ``mined_caption_pairs`` — for every image span, attach the nearest
+- ``mine_caption_pairs`` — for every image span, attach the nearest
   text span on each side within the same document (OBELICS-style
   surrounding-text mining over interleaved web documents), and choose
   a single caption: the closer side by span offset, ties to the
@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load_tables
+from .similarity import _cos_expr
 
 TOP_K = 5
 SALTS = 8
@@ -145,12 +146,6 @@ WHERE kind = 'image'
   AND (cap_before IS NOT NULL OR cap_after IS NOT NULL)
 """
 
-_DOT = (
-    "aggregate(zip_with(ec, ei, (x, y) -> cast(x AS double) * cast(y AS double)),"
-    " cast(0 AS double), (acc, v) -> acc + v)"
-)
-_NC = "sqrt(aggregate(ec, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
-_NI = "sqrt(aggregate(ei, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
 
 
 def alignment_topk(pairs: DataFrame, emb: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -177,7 +172,7 @@ def alignment_topk(pairs: DataFrame, emb: DataFrame, k: int = TOP_K) -> DataFram
     scored = (
         keyed.join(ec, "cap_vec")
         .join(F.broadcast(ei), "img_vec")
-        .withColumn("align_cos", F.round(F.expr(f"({_DOT}) / (({_NC}) * ({_NI}))"), 3))
+        .withColumn("align_cos", F.round(F.expr(_cos_expr("ec", "ei")), 3))
     )
     order = [F.col("align_cos").desc(), F.col("doc_id").asc()]
     partial = Window.partitionBy("media_ref", "__salt").orderBy(*order)

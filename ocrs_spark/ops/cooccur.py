@@ -40,11 +40,17 @@ def pmi_top_collocations(
     uni = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
     tot_t = uni.agg(F.sum("c").alias("t_total"))
 
+    # pair adjacent tokens via zip_with over two slices: the token array
+    # is referenced a constant number of times per row — element_at(T,
+    # i+2) inside a transform lambda would re-evaluate the whole
+    # split+filter once PER TOKEN (Catalyst doesn't hoist common
+    # subexpressions out of lambda bodies), an O(tokens^2) scan
     bi = docs.select(
         F.explode(
             F.expr(
-                f"transform(slice({_TOKENS}, 1, greatest(size({_TOKENS}) - 1, 0)),"
-                f" (w, i) -> named_struct('a', w, 'b', element_at({_TOKENS}, i + 2)))"
+                f"zip_with(slice({_TOKENS}, 1, greatest(size({_TOKENS}) - 1, 0)),"
+                f" slice({_TOKENS}, 2, greatest(size({_TOKENS}) - 1, 0)),"
+                f" (x, y) -> named_struct('a', x, 'b', y))"
             )
         ).alias("p")
     ).select("p.a", "p.b")

@@ -1,8 +1,20 @@
 """Ordered-funnel analytics over the event stream: how many users
 complete view -> click -> purchase IN ORDER, each step within a
-bounded window of the previous — the MATCH_RECOGNIZE-style sequential
-pattern Spark has no native operator for (Trino/Flink expose SQL
-pattern matching; warehouse funnel queries are its most common use).
+bounded window of the previous — a sequential pattern Spark has no
+native operator for (Trino/Flink expose SQL MATCH_RECOGNIZE; warehouse
+funnel queries are its most common use).
+
+Semantics are GREEDY FIRST-TOUCH, the convention funnel products
+(GA/Amplitude-style) report: step k anchors at the EARLIEST event that
+validly follows step k-1's anchor. A user whose only completing path
+runs through a LATER intermediate event (view, click@+1s,
+click@+6d, purchase@+6d+2d) counts as not converting — the purchase is
+outside the window of the FIRST click, and first-touch deliberately
+does not backtrack. The any-valid-sequence variant is a per-user
+ordered scan (sort within user, one forward pass keeping the latest
+feasible anchor per step) — a different, more expensive operator; this
+one is the aggregation-only shape, and the oracle encodes the same
+first-touch rule.
 
 The scalable spelling avoids per-user event-array materialization
 (collect_list per user concentrates a power-law user's whole history
@@ -25,16 +37,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load_tables
+from .relational import ntz_epoch_seconds
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 STEP_WINDOW_S = 7 * 24 * 3600
 
-_EPOCH = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-
 
 def funnel_reach(events: DataFrame, steps=FUNNEL_STEPS, window_s: int = STEP_WINDOW_S) -> DataFrame:
     ev = events.select(
-        "user_id", "event_type", F.expr(_EPOCH).cast("long").alias("es")
+        "user_id", "event_type", ntz_epoch_seconds("ts").cast("long").alias("es")
     )
     total = ev.select("user_id").distinct().agg(
         F.count("*").cast("long").alias("users")

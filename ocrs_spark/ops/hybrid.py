@@ -28,17 +28,12 @@ from pyspark.sql import functions as F
 
 from . import load_tables
 from .retrieval import BM25_QUERIES, ORACLE_BM25, bm25_search
+from .similarity import _cos_expr
 
 RRF_K = 60
 TOP_K = 10
 _N_Q = len(BM25_QUERIES)
 
-_COS = (
-    "aggregate(zip_with(embedding, qe, (x, y) -> cast(x AS double) * cast(y AS double)),"
-    " cast(0 AS double), (acc, v) -> acc + v)"
-    " / (sqrt(aggregate(embedding, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
-    " * sqrt(aggregate(qe, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double))))"
-)
 
 
 def semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +48,7 @@ def semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         emb.crossJoin(F.broadcast(q))
-        .select("query_id", F.col("vec_id").alias("doc_id"), F.expr(_COS).alias("cos"))
+        .select("query_id", F.col("vec_id").alias("doc_id"), F.expr(_cos_expr("embedding", "qe")).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"))

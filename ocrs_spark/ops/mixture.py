@@ -28,14 +28,31 @@ _SALT = "|mix"
 _U32 = 4294967296.0
 
 
-def _uniform(doc_id_col):
-    """Deterministic uniform in [0, 1) keyed on doc_id."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(doc_id_col.cast("string"), F.lit(_SALT))), 1, 8),
+def salted_hash_long(key_col, salt: str):
+    """THE cross-engine parity hash: first 8 md5 hex chars of
+    (key || salt) as a BIGINT — DuckDB twin:
+    ('0x' || substr(md5(key::VARCHAR || salt), 1, 8))::BIGINT.
+    Every module that needs an engine-reproducible pseudo-random key
+    (mixture, quota, bloomskip) uses this one spelling."""
+    return F.conv(
+        F.substring(F.md5(F.concat(key_col.cast("string"), F.lit(salt))), 1, 8),
         16,
         10,
     ).cast("long")
-    return h / F.lit(_U32)
+
+
+def salted_hash_sql(key: str, salt: str) -> str:
+    """The same hash as a Spark SQL expression string (for callers that
+    compose it inside larger expr() strings)."""
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), '{salt}')), 1, 8),"
+        f" 16, 10) AS BIGINT)"
+    )
+
+
+def _uniform(doc_id_col):
+    """Deterministic uniform in [0, 1) keyed on doc_id."""
+    return salted_hash_long(doc_id_col, _SALT) / F.lit(_U32)
 
 
 def mixture_copies(docs, weights=None, stratum: str = "lang"):

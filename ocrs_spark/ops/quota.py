@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_tables
+from .mixture import salted_hash_long
 
 TARGET_DOCS = 300
 PARTS = 32
@@ -47,11 +48,7 @@ _SALT = "|quota"
 
 
 def _hash_col(doc_id_col):
-    return F.conv(
-        F.substring(F.md5(F.concat(doc_id_col.cast("string"), F.lit(_SALT))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    return salted_hash_long(doc_id_col, _SALT)
 
 
 def temperature_quotas(counts: dict[str, int], target: int = TARGET_DOCS) -> dict[str, int]:

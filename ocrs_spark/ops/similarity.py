@@ -343,6 +343,9 @@ IVF_NPROBE = 2
 
 
 def _cos_expr(a: str, b: str) -> str:
+    """Fold-order-pinned cosine over two array columns — THE canonical
+    spelling every module's bit-exactness claim rests on (captions,
+    hybrid, dedup import it rather than re-spelling the lambda)."""
     dot = f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)"
     na = f"sqrt(aggregate({a}, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
     nb = f"sqrt(aggregate({b}, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"

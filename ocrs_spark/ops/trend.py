@@ -5,17 +5,28 @@ global model; a 10^9-user table wants one tiny model PER KEY, which is
 an aggregation problem, not an iterative one).
 
 slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from four running sums — ONE
-groupBy(user_id) with map-side partial combine, no iteration, no
-per-key collect. Cross-engine exactness is engineered: x is epoch
-seconds rebased to 2024-01-01 (keeps x^2 sums inside BIGINT) and y is
-value in integer cents (round(value*100) — the same double rounds the
-same way in both engines), so every sum is EXACT integer arithmetic
-and the only floats are two final correctly-rounded divisions. The
-usual caveat — float sums across fold orders — never arises.
+extra same-key aggregate (the per-user min timestamp) plus ONE groupBy
+with map-side partial combine, no iteration, no per-key collect.
+Cross-engine exactness AND overflow-safety are engineered together:
 
-Output: per-user slope in cents/day, intercept at the rebase epoch,
-and n; keys with a single observation (or zero x-variance) yield null
-slope on both engines.
+- x is epoch seconds rebased to the USER'S OWN first event (a same-key
+  min + co-partitioned join), so |x| is bounded by the key's activity
+  span, not the calendar — a fixed-epoch rebase left x^2 sums one
+  power-user away from wrapping int64 silently in Spark while DuckDB's
+  BIGINT cast errored, a parity break;
+- y is value in integer cents (round(value*100) — the same double
+  rounds the same way in both engines);
+- per-row products are computed in DECIMAL(38,0) (Spark) / HUGEINT
+  (DuckDB) — both exact 128-bit integer arithmetic, good to ~1e38, so
+  sums and the n*Sxx cross-products never wrap for any realistic key
+  (bound: n * span_s^2 < 1e38 — a 10^9-event user over a decade is
+  ~1e26);
+- both engines divide the SAME two exact integers after an explicit
+  cast to double, the only floating step.
+
+Output: per-user slope in cents/day, the intercept in cents AT THE
+USER'S FIRST EVENT (the rebase origin), and n; keys with a single
+observation (or zero x-variance) yield null slope on both engines.
 """
 
 from __future__ import annotations
@@ -24,32 +35,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_tables
+from .relational import ntz_epoch_seconds
 
-_REBASE = 1704067200  # 2024-01-01T00:00:00Z
-_EPOCH = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+_DEC = "decimal(38,0)"
 
 
 def value_trends(events: DataFrame) -> DataFrame:
     pts = events.select(
         "user_id",
-        (F.expr(_EPOCH).cast("long") - _REBASE).alias("x"),
+        ntz_epoch_seconds("ts").cast("long").alias("es"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
     )
-    g = pts.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    x0 = pts.groupBy("user_id").agg(F.min("es").alias("x0"))
+    rebased = pts.join(x0, "user_id").select(
+        "user_id", (F.col("es") - F.col("x0")).alias("x"), "y"
     )
-    denom = g["n"] * g["sxx"] - g["sx"] * g["sx"]
-    slope = (g["n"] * g["sxy"] - g["sx"] * g["sy"]) / denom  # cents per second
-    intercept = (g["sy"] - slope * g["sx"]) / g["n"]
+    xd = F.col("x").cast(_DEC)
+    g = rebased.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+    )
+    nd = g["n"].cast(_DEC)
+    num = nd * g["sxy"] - g["sx"] * g["sy"]
+    den = nd * g["sxx"] - g["sx"] * g["sx"]
+    slope = num.cast("double") / den.cast("double")  # cents per second
+    intercept = (g["sy"].cast("double") - slope * g["sx"].cast("double")) / g["n"]
     return g.select(
         "user_id",
         "n",
-        F.when(denom > 0, F.round(slope * 86400, 6)).alias("slope_cents_per_day"),
-        F.when(denom > 0, F.round(intercept, 6)).alias("intercept_cents"),
+        F.when(den > 0, F.round(slope * 86400, 6)).alias("slope_cents_per_day"),
+        F.when(den > 0, F.round(intercept, 6)).alias("intercept_cents"),
     )
 
 
@@ -58,25 +76,33 @@ def user_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_trends(events)
 
 
-ORACLE_TRENDS = f"""
+ORACLE_TRENDS = """
 WITH pts AS (
   SELECT user_id,
-         floor(epoch(ts))::BIGINT - {_REBASE} AS x,
+         floor(epoch(ts))::BIGINT AS es,
          round(value * 100)::BIGINT AS y
   FROM events
 ),
+rebased AS (
+  SELECT user_id,
+         es - min(es) OVER (PARTITION BY user_id) AS x,
+         y
+  FROM pts
+),
 g AS (
   SELECT user_id, count(*)::BIGINT AS n,
-         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
-         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
-  FROM pts GROUP BY user_id
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM rebased GROUP BY user_id
 )
 SELECT user_id, n,
   CASE WHEN n * sxx - sx * sx > 0 THEN
-    round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) * 86400, 6)
+    round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE * 86400, 6)
   END AS slope_cents_per_day,
   CASE WHEN n * sxx - sx * sx > 0 THEN
-    round((sy - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) * sx) / n, 6)
+    round((sy::DOUBLE
+           - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+             * sx::DOUBLE) / n, 6)
   END AS intercept_cents
 FROM g
 """

@@ -30,13 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import load_tables
+from .relational import ntz_epoch_seconds
 
 NFILES = 16
 BITS = 16
 # box predicate: second quarter of the normalized space on both dims
 BOX_LO, BOX_HI = 16384, 32767
-
-_EPOCH = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 
 
 def _interleave_spark(x: str, y: str) -> str:
@@ -65,7 +64,7 @@ def zorder_pruning_stats(events: DataFrame) -> DataFrame:
     z-order vs linear layout under the fixed box predicate."""
     base = events.select(
         F.col("user_id").cast("long").alias("x"),
-        F.expr(_EPOCH).cast("long").alias("y"),
+        ntz_epoch_seconds("ts").cast("long").alias("y"),
     )
     bounds = base.agg(
         F.min("x").alias("xlo"),
@@ -88,6 +87,10 @@ def zorder_pruning_stats(events: DataFrame) -> DataFrame:
             F.expr(f"CAST(({z}) * {NFILES} AS BIGINT) div 4294967296").alias("zfile"),
             F.expr(f"CAST(x16 * {NFILES} AS BIGINT) div 65536").alias("lfile"),
         )
+        # placed feeds four branches (z stats, linear stats, matched
+        # rows); pin it once or the scan + 32-term interleave re-execute
+        # per branch (the dedupgraph/triangles lesson)
+        .localCheckpoint(eager=True)
     )
 
     inbox = (
