@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_pq_topk",
     "hybrid_rrf_search",
     "ivm_merged_view",
+    "hard_negative_triples",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -45,6 +45,7 @@ def all_queries():
         mixture,
         multimodal,
         nbclassify,
+        negatives,
         ocreval,
         packing,
         pdfmixed,
@@ -74,7 +75,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -107,6 +108,7 @@ def all_oracles():
         mixture,
         multimodal,
         nbclassify,
+        negatives,
         ocreval,
         packing,
         pdfmixed,
@@ -136,6 +138,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
