@@ -75,6 +75,7 @@ HEADLINE = [
     "hybrid_rrf_search",
     "ivm_merged_view",
     "hard_negative_triples",
+    "shuffle_skew_report",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -62,6 +62,7 @@ def all_queries():
         similarity,
         splits,
         skew,
+        skewadvisor,
         skyline,
         streamrows,
         temporal,
@@ -75,7 +76,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -125,6 +126,7 @@ def all_oracles():
         similarity,
         splits,
         skew,
+        skewadvisor,
         skyline,
         streamrows,
         temporal,
@@ -138,6 +140,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
