@@ -76,6 +76,7 @@ HEADLINE = [
     "ivm_merged_view",
     "hard_negative_triples",
     "shuffle_skew_report",
+    "ranking_agreement_rbo",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

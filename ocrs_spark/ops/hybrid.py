@@ -126,5 +126,99 @@ QUALIFY fused_rank <= {TOP_K}
 """
 
 
-QUERIES = {"hybrid_rrf_search": hybrid_rrf_search}
-ORACLES = {"hybrid_rrf_search": ORACLE_HYBRID_RRF}
+# --- Rank-biased overlap (Webber et al., TOIS 2010) between the two
+# retrievers: how much do the lexical and semantic rankings agree, with
+# top-weighted emphasis (p=0.9)? Truncated RBO@K decomposes PER DOC:
+# a doc in both lists contributes (1-p) * sum_{d=max(r1,r2)}^{K}
+# p^(d-1)/d — a function of its max rank only — so the whole metric is
+# one equi-join of the two top-K tables plus a groupBy(query): no
+# prefix re-materialization at any depth. The K weights are computed
+# once in Python and inlined as IDENTICAL double literals in the Spark
+# expression and the DuckDB SQL, so both engines sum the same exact
+# doubles in a <=K-term fold (rounded to 6 far above any fold noise).
+
+RBO_P = 0.9
+
+
+def _rbo_weights(k: int = TOP_K, p: float = RBO_P) -> list:
+    """weight[m-1] = (1-p) * sum_{d=m}^{k} p^(d-1)/d."""
+    tail = 0.0
+    out = [0.0] * k
+    for d in range(k, 0, -1):
+        tail += p ** (d - 1) / d
+        out[d - 1] = (1 - p) * tail
+    return out
+
+
+def ranking_agreement_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rbo): truncated RBO@K between BM25 and semantic."""
+    w = _rbo_weights()
+    lex = bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("r1")
+    )
+    sem = semantic_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("r2")
+    )
+    cases = " ".join(
+        f"WHEN {m + 1} THEN cast({w[m]!r} as double)" for m in range(TOP_K)
+    )
+    contrib = F.expr(f"CASE greatest(r1, r2) {cases} ELSE 0.0 END")
+    overlap = (
+        lex.join(sem, ["query_id", "doc_id"])
+        .select("query_id", contrib.alias("c"))
+        .groupBy("query_id")
+        .agg(F.round(F.sum("c"), 6).alias("rbo"))
+    )
+    # a query whose lists share no documents has RBO 0, not a missing row
+    all_q = lex.select("query_id").distinct()
+    return all_q.join(overlap, "query_id", "left").select(
+        "query_id", F.coalesce("rbo", F.lit(0.0)).alias("rbo")
+    )
+
+
+def _rbo_oracle() -> str:
+    w = _rbo_weights()
+    cases = " ".join(f"WHEN {m + 1} THEN {w[m]!r}" for m in range(TOP_K))
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS r1 FROM ({ORACLE_BM25})
+),
+sem_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                                 z -> z[1]::DOUBLE * z[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE q.vec_id < {_N_Q}
+),
+sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC)
+           AS r2
+  FROM sem_scored
+  QUALIFY r2 <= {TOP_K}
+)
+, overlap AS (
+  SELECT query_id,
+         round(sum(CASE greatest(r1, r2) {cases} ELSE 0.0 END), 6) AS rbo
+  FROM lex JOIN sem USING (query_id, doc_id)
+  GROUP BY query_id
+)
+SELECT q.query_id, coalesce(o.rbo, 0.0) AS rbo
+FROM (SELECT DISTINCT query_id FROM lex) q
+LEFT JOIN overlap o USING (query_id)
+"""
+
+
+ORACLE_RBO = _rbo_oracle()
+
+QUERIES = {
+    "hybrid_rrf_search": hybrid_rrf_search,
+    "ranking_agreement_rbo": ranking_agreement_rbo,
+}
+ORACLES = {
+    "hybrid_rrf_search": ORACLE_HYBRID_RRF,
+    "ranking_agreement_rbo": ORACLE_RBO,
+}

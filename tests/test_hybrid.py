@@ -61,3 +61,23 @@ def test_consensus_doc_beats_single_retriever_top(spark):
         assert any(best_both > fused.get(k, 1) for k in only_lex_top)
     # non-vacuous: the two retrievers disagree somewhere
     assert set(lex) != set(sem)
+
+
+def test_rbo_bounds_and_identity(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from ocrs_spark.ops.hybrid import RBO_P, _rbo_weights, ranking_agreement_rbo
+
+    # weights: identical lists of depth K score sum_{d=1..K} w covers
+    # (1-p) * sum p^(d-1)/d * d-term identity -> RBO(identical) =
+    # (1-p) * sum_{d=1..K} p^(d-1)  (since overlap_d = d)
+    k = 10
+    w = _rbo_weights(k)
+    ident = sum(w[m] for m in range(k))  # each doc's max rank = its rank
+    want = (1 - RBO_P) * sum(RBO_P ** (d - 1) for d in range(1, k + 1))
+    assert math.isclose(ident, want, rel_tol=1e-12)
+
+    out = {r["query_id"]: r["rbo"] for r in ranking_agreement_rbo(spark, SF).collect()}
+    assert set(out) and all(0.0 <= v <= 1.0 for v in out.values())
