@@ -77,6 +77,7 @@ HEADLINE = [
     "hard_negative_triples",
     "shuffle_skew_report",
     "ranking_agreement_rbo",
+    "mean_chars_ci",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

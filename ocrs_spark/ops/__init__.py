@@ -20,6 +20,7 @@ def load_tables(spark, sf_dir: str, *names: str):
 def all_queries():
     from . import (
         bloomskip,
+        bootstrap,
         bpe,
         captions,
         classeval,
@@ -76,7 +77,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -84,6 +85,7 @@ def all_queries():
 def all_oracles():
     from . import (
         bloomskip,
+        bootstrap,
         bpe,
         captions,
         classeval,
@@ -140,6 +142,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
