@@ -78,6 +78,7 @@ HEADLINE = [
     "shuffle_skew_report",
     "ranking_agreement_rbo",
     "mean_chars_ci",
+    "semantic_ndcg",
     "events_tumbling_window",
     "explode_token_counts",
     "reweave_roundtrip",

@@ -40,6 +40,7 @@ def all_queries():
         hybrid,
         icebergops,
         imagededup,
+        ireval,
         ivm,
         linkgraph,
         lmscore,
@@ -77,7 +78,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, ireval, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -105,6 +106,7 @@ def all_oracles():
         hybrid,
         icebergops,
         imagededup,
+        ireval,
         ivm,
         linkgraph,
         lmscore,
@@ -142,6 +144,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, bloomskip, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, bloomskip, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, ireval, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, skew, skewadvisor, pii, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out
