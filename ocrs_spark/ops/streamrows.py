@@ -41,6 +41,42 @@ def _staged_events_run(spark, sf_dir, kind, runner):
     return spark.table(name)
 
 
+def _staged_duplicated_run(spark, sf_dir, kind, runner):
+    """Stage events.parquet with planted re-deliveries — two full copies
+    plus a third partial copy (event_id % 3 == 0) landed as separate
+    files, the way an at-least-once queue re-delivers — then run the
+    stream once per (session, sf_dir)."""
+    import tempfile
+    import uuid
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    name = _DONE.get(key)
+    if name is None:
+        name = f"{kind}_" + uuid.uuid4().hex[:8]
+        base = tempfile.mkdtemp(prefix=f"ocrs_stream_{kind}_")
+        events_dir = f"{base}/events"
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.write.parquet(events_dir)
+        ev.write.mode("append").parquet(events_dir)
+        ev.where("event_id % 3 = 0").write.mode("append").parquet(events_dir)
+        runner(events_dir, f"{base}/ckpt", name)
+        _DONE[key] = name
+    return spark.table(name)
+
+
+def stream_dedup_ingest(spark, sf_dir):
+    """Distinct events surviving the watermarked streaming dedup of an
+    at-least-once delivery (event_id, user_id, event_type, value)."""
+    from ocrs_spark.streaming import stream_dedup_events
+
+    return _staged_duplicated_run(
+        spark,
+        sf_dir,
+        "dedup_ingest",
+        lambda ev, ck, name: stream_dedup_events(spark, ev, ck, name),
+    )
+
+
 def stream_sessionize_closed(spark, sf_dir):
     """Closed sessions emitted by the streaming sessionizer
     (user_id, session_start, session_end, n_events, sum_value)."""
@@ -81,9 +117,15 @@ WHERE session_idx < last_idx
 QUERIES = {
     "stream_sessionize_closed": stream_sessionize_closed,
     "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_dedup_ingest": stream_dedup_ingest,
 }
 
 ORACLES = {
     "stream_sessionize_closed": ORACLE_STREAM_SESSIONIZE,
     "stream_tumbling_agg": ORACLE_TUMBLING,
+    # The staged re-deliveries all arrive inside the watermark horizon,
+    # so the drained dedup output is exactly the original distinct set.
+    "stream_dedup_ingest": (
+        "SELECT event_id, user_id, event_type, value FROM events"
+    ),
 }

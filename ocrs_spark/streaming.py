@@ -56,6 +56,43 @@ def stream_events_tumbling(
     q.awaitTermination()
 
 
+def stream_dedup_events(
+    spark: SparkSession, events_path: str, checkpoint_dir: str, out_table: str
+) -> None:
+    """Streaming ingest dedup: drop re-deliveries of the same event id
+    within the watermark horizon (``dropDuplicatesWithinWatermark``) —
+    the canonical shape for re-crawled URLs / at-least-once ingest
+    queues, where the same record arrives again minutes-to-hours later.
+
+    The watermark delay bounds the dedup state: ids older than
+    (max event time - delay) are evicted, so state is O(events per
+    horizon) no matter how long the stream runs — the property that
+    makes this viable at web scale, vs. an unbounded ``distinct``.
+    The staged test corpus re-delivers every event within the horizon,
+    so the drained output is exactly the distinct event set and the
+    batch oracle is a plain projection of the original table."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        # zoned timestamp required for watermarks; UTC session tz makes
+        # the cast wall-time-preserving (see stream_events_tumbling).
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 SESSION_GAP_SEC = 30 * 60
 
 _SESSION_OUT_SCHEMA = (
