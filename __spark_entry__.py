@@ -100,6 +100,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # lm_perplexity, decontamination, and dedup_clusters in one row;
     # stream_incremental_curation is the curation resume story (growing
     # Iceberg source, frozen-model gates, cross-batch dedup state).
+    # Late round-5 swaps — after these, EVERY contract row carries a
+    # hard DuckDB oracle (no rows-only rows left):
+    #   ann_ivf_kmeans_topk (rows-only by design; k-means IVF stays
+    #     pinned by tests/test_ann_quality) -> chunk_windows (sliding
+    #     token windows, fully oracled, zero-shuffle plan family);
+    #   events_sessionize (batch; its SESSIONS_CTE oracle is mostly
+    #     re-proven by stream_sessionize_closed) -> anchor_text_docs
+    #     (markup anchor parsing + two-level heavy-hitter-safe agg);
+    #   q11_important_stock (6th TPC-H representative; all 22 stay
+    #     pytest-oracled) -> daily_distinct_users (exact daily
+    #     distincts + the HLL-within-bound flag the oracle pins TRUE).
     # Round-5 swaps: antijoin_customers_without_orders (a 0-row result
     # — the left-anti family stays pinned through curate_training_
     # corpus and the resume ledger) -> caption_alignment_topk (pins the
@@ -116,16 +127,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_agg", "stream_sessionize_closed",
         "dedup_exact", "ngram_jaccard_pairs",
         "doc_signatures", "embedding_cosine_pairs", "ann_topk_bruteforce",
-        "ann_topk_lsh", "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_recall",
+        "ann_topk_lsh", "ann_ivf_topk", "chunk_windows", "ann_recall",
         "text_profile", "tfidf_top_terms", "multimodal_decode_meta",
         "salted_event_user_stats", "curate_training_corpus",
         "decontamination", "curate_web_corpus",
         "stream_incremental_curation", "corpus_drift",
-        "explode_token_counts", "reweave_roundtrip", "events_sessionize",
+        "explode_token_counts", "reweave_roundtrip", "anchor_text_docs",
         "caption_alignment_topk", "temperature_sample",
         "window_topk_orders_per_customer",
         "asof_prior_view", "range_join_campaigns",
-        "q11_important_stock", "q21_waiting_suppliers",
+        "daily_distinct_users", "q21_waiting_suppliers",
         "q1_pricing_summary", "q2_best_supplier",
         "q5_local_supplier_volume", "q7_volume_shipping",
     ]
@@ -156,6 +167,6 @@ def oracle_sql() -> dict[str, str]:
     out["extraction_metrics_run"] = ORACLE_EXTRACTION_METRICS
     # Only contract rows: folded variants keep their oracles in
     # ocrs_spark.ops for pytest, but the driver pairs this dict with
-    # queries() (ann_ivf_kmeans_topk is rows-only by design).
+    # queries(); every contract row now has an oracle.
     contract = set(queries())
     return {k: v for k, v in out.items() if k in contract}

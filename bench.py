@@ -112,6 +112,10 @@ HEADLINE = [
     "events_sessionize",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "anchor_text_docs",
+    "chunk_windows",
+    "daily_distinct_users",
+    "stream_dedup_ingest",
     "ann_topk_lsh",
     "ann_recall",
     "salted_event_user_stats",

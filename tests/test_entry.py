@@ -21,8 +21,7 @@ def test_entry_contract_shapes():
     # Oracle-less entries are allowed by the driver contract only for
     # genuinely non-SQL-expressible ops (rows-only check); keep the
     # list explicit so a missing oracle is a decision, not an accident.
-    no_oracle_ok = {"ann_ivf_kmeans_topk"}  # iterative float k-means
-    assert set(q) - set(o) == no_oracle_ok
+    assert set(q) - set(o) == set()  # every contract row is oracled
 
 
 def test_entry_runs_and_returns_rows(spark):
