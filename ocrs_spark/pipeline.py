@@ -99,74 +99,87 @@ def build_engine(conf: dict) -> OcrEngine:
     return eng
 
 
+def extract_payload_batch(
+    engine: OcrEngine, payloads: list[bytes]
+) -> tuple[list, list, list, list]:
+    """Fused extraction kernel over one Arrow batch of raw payloads:
+    returns parallel (texts, n_words, n_lines, errors) lists. Shared by
+    the pipeline's mapInPandas UDF and the SQL-callable functions in
+    ``sqlfuncs`` so both surfaces run the identical kernel."""
+    n = len(payloads)
+    texts = [None] * n
+    n_words = [0] * n
+    n_lines = [0] * n
+    errors = [None] * n
+    greys = [None] * n
+    # Decode + normalize the whole Arrow batch first. Payloads
+    # dispatch on magic bytes: born-digital PDFs are parsed
+    # directly (no rasterize/OCR), HTML documents get the
+    # DOM-heuristic boilerplate strip, everything else goes
+    # through the image decoders into the OCR stages below.
+    for i in range(n):
+        try:
+            payload = bytes(payloads[i])  # None/bad cells -> error row below
+            if payload.startswith(b"%PDF-"):
+                from .pdf import extract_pdf_text
+
+                shown = extract_pdf_text(payload)
+                texts[i] = "\n".join(shown)
+                n_lines[i] = sum(1 for s in shown if s)
+                n_words[i] = sum(len(s.split()) for s in shown)
+            elif _looks_like_html(payload):
+                from .dom import keep_block, parse_html, text_blocks
+
+                kept = [
+                    b.text
+                    for b in text_blocks(
+                        parse_html(payload.decode("utf-8", "replace"))
+                    )
+                    if keep_block(b)
+                ]
+                texts[i] = "\n".join(kept)
+                n_lines[i] = len(kept)
+                n_words[i] = sum(len(t.split()) for t in kept)
+            else:
+                img = decode_image(payload)
+                greys[i] = engine.prepare_input(img)
+        except Exception as exc:  # bad rows -> error column, task survives
+            errors[i] = f"decode: {exc}"
+    # ... then run detection as one stacked NCHW batch (all inputs
+    # share the model's fixed H x W) ...
+    ok_idx = [i for i in range(n) if greys[i] is not None]
+    try:
+        masks = engine.detector.detect_text_pixels_batch([greys[i] for i in ok_idx])
+    except Exception as exc:
+        for i in ok_idx:
+            errors[i] = f"detect: {exc}"
+        masks = []
+        ok_idx = []
+    # ... then per-image layout + recognition (sequential
+    # algorithms; the parallel grain is the image/task).
+    for i, mask in zip(ok_idx, masks):
+        try:
+            words = engine.detector.words_from_mask(mask)
+            lines = engine.find_text_lines(words)
+            recognized = engine.recognize_text(greys[i], lines)
+            keep = [l for l in recognized if l is not None]
+            texts[i] = "\n".join(l.text() for l in keep)
+            n_words[i] = len(words)
+            n_lines[i] = len(keep)
+        except Exception as exc:
+            errors[i] = f"ocr: {exc}"
+    return texts, n_words, n_lines, errors
+
+
 def make_ocr_udf(engine_conf: dict):
     """Fused OCR mapInPandas function over (doc_id, offset, bytes)."""
 
     def ocr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         engine = build_engine(engine_conf)
         for pdf in batches:
-            n = len(pdf)
-            texts = [None] * n
-            n_words = [0] * n
-            n_lines = [0] * n
-            errors = [None] * n
-            greys = [None] * n
-            # Decode + normalize the whole Arrow batch first. Payloads
-            # dispatch on magic bytes: born-digital PDFs are parsed
-            # directly (no rasterize/OCR), HTML documents get the
-            # DOM-heuristic boilerplate strip, everything else goes
-            # through the image decoders into the OCR stages below.
-            for i in range(n):
-                try:
-                    payload = bytes(pdf["bytes"].iloc[i])
-                    if payload.startswith(b"%PDF-"):
-                        from .pdf import extract_pdf_text
-
-                        shown = extract_pdf_text(payload)
-                        texts[i] = "\n".join(shown)
-                        n_lines[i] = sum(1 for s in shown if s)
-                        n_words[i] = sum(len(s.split()) for s in shown)
-                    elif _looks_like_html(payload):
-                        from .dom import keep_block, parse_html, text_blocks
-
-                        kept = [
-                            b.text
-                            for b in text_blocks(
-                                parse_html(payload.decode("utf-8", "replace"))
-                            )
-                            if keep_block(b)
-                        ]
-                        texts[i] = "\n".join(kept)
-                        n_lines[i] = len(kept)
-                        n_words[i] = sum(len(t.split()) for t in kept)
-                    else:
-                        img = decode_image(payload)
-                        greys[i] = engine.prepare_input(img)
-                except Exception as exc:  # bad rows -> error column, task survives
-                    errors[i] = f"decode: {exc}"
-            # ... then run detection as one stacked NCHW batch (all inputs
-            # share the model's fixed H x W) ...
-            ok_idx = [i for i in range(n) if greys[i] is not None]
-            try:
-                masks = engine.detector.detect_text_pixels_batch([greys[i] for i in ok_idx])
-            except Exception as exc:
-                for i in ok_idx:
-                    errors[i] = f"detect: {exc}"
-                masks = []
-                ok_idx = []
-            # ... then per-image layout + recognition (sequential
-            # algorithms; the parallel grain is the image/task).
-            for i, mask in zip(ok_idx, masks):
-                try:
-                    words = engine.detector.words_from_mask(mask)
-                    lines = engine.find_text_lines(words)
-                    recognized = engine.recognize_text(greys[i], lines)
-                    keep = [l for l in recognized if l is not None]
-                    texts[i] = "\n".join(l.text() for l in keep)
-                    n_words[i] = len(words)
-                    n_lines[i] = len(keep)
-                except Exception as exc:
-                    errors[i] = f"ocr: {exc}"
+            texts, n_words, n_lines, errors = extract_payload_batch(
+                engine, list(pdf["bytes"])
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
