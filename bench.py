@@ -146,6 +146,8 @@ HEADLINE = [
     "crawl_frontier",
     "stream_incremental_curation",
     "corpus_drift",
+    "zipf_token_fit",
+    "ngram_novelty",
     "ocr_image_span_texts",
 ]
 

@@ -10,12 +10,20 @@ genuinely novel text.
 
 Plan shape at 100 TB: reuse the dedup shingle kernel (Arrow-batched,
 byte-identical to the expression form), take distinct (doc_id, s) —
-map-side combinable — then ONE groupBy on the shingle key (uniform
-hash distribution; no skew) to count containing docs, a sort-merge
-join back on the same key (co-partitioned with the groupBy, so AQE
-reuses the exchange), and a final doc_id aggregate. No windows, no
-driver-side state; every shuffle key is either a shingle hash or
-doc_id.
+map-side combinable — and NEVER join back on the shingle key: a
+shingle with document frequency 1 identifies its one containing doc
+as min(doc_id) of its group, so the novel-shingle counts fall out of
+the SAME groupBy(s) aggregate that computes the frequencies
+(count + min, both partial-combinable, so a boilerplate shingle in
+10^9 docs still folds map-side instead of flooding one task the way
+a count-over-window on s would). The naive shape — join (doc_id, s)
+against (s, df) then re-aggregate — pays a corpus-scale shuffle join
+ON THE SHINGLE KEY and computes the shingle pipeline twice (the two
+join inputs partition on different keys, so Spark cannot reuse the
+exchange); this shape's joins are all one-row-per-doc tables on
+doc_id. The shingle table is persisted (memory-then-disk) across its
+two doc_id-/s-keyed aggregates so the Arrow UDF and the distinct run
+once.
 
 novelty_frac is a single IEEE division of two exact ints — bit-equal
 cross-engine — rounded to 6 dp per house style anyway. Docs with
@@ -35,23 +43,39 @@ from .dedup import _DUCK_SHINGLES, shingles_df
 
 def novelty_over(docs: DataFrame) -> DataFrame:
     """(doc_id, n_distinct_shingles, n_novel, novelty_frac) per doc."""
-    sh = shingles_df(docs).distinct()
-    df_s = sh.groupBy("s").agg(F.count("*").cast("long").alias("docs_s"))
-    per_doc = (
-        sh.join(df_s, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_distinct_shingles"),
-            F.sum((F.col("docs_s") == 1).cast("long")).alias("n_novel"),
-        )
+    from pyspark import StorageLevel
+
+    sh = shingles_df(docs).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    totals = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_distinct_shingles")
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_distinct_shingles", F.lit(0)).alias("n_distinct_shingles"),
-        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-        F.round(
-            F.col("n_novel").cast("double") / F.col("n_distinct_shingles"), 6
-        ).alias("novelty_frac"),
+    # df == 1  =>  the group's min(doc_id) IS the one containing doc.
+    novel = (
+        sh.groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("docs_s"),
+            F.min("doc_id").alias("only_doc"),
+        )
+        .filter(F.col("docs_s") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct_shingles", F.lit(0)).alias(
+                "n_distinct_shingles"
+            ),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_distinct_shingles"),
+                6,
+            ).alias("novelty_frac"),
+        )
     )
 
 
