@@ -148,6 +148,7 @@ HEADLINE = [
     "corpus_drift",
     "zipf_token_fit",
     "ngram_novelty",
+    "scd2_user_type_history",
     "ocr_image_span_texts",
 ]
 
