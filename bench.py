@@ -149,6 +149,8 @@ HEADLINE = [
     "zipf_token_fit",
     "ngram_novelty",
     "scd2_user_type_history",
+    "inverted_postings",
+    "phrase_match_docs",
     "ocr_image_span_texts",
 ]
 
