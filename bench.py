@@ -151,6 +151,7 @@ HEADLINE = [
     "scd2_user_type_history",
     "inverted_postings",
     "phrase_match_docs",
+    "stream_click_attribution",
     "ocr_image_span_texts",
 ]
 

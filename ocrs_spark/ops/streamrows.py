@@ -114,10 +114,42 @@ WHERE session_idx < last_idx
 """
 
 
+def stream_click_attribution(spark, sf_dir):
+    """(user_id, view_id, click_id, view_epoch, click_epoch) pairs from
+    the watermarked stream-stream interval self-join (every click
+    attributed to each same-user view in the preceding 2 hours)."""
+    from ocrs_spark.streaming import stream_view_click_join
+
+    return _staged_events_run(
+        spark,
+        sf_dir,
+        "click_attr",
+        lambda ev, ck, name: stream_view_click_join(spark, ev, ck, name),
+    )
+
+
+# availableNow drains the staged corpus without watermark drops, so the
+# exact batch range join is the oracle (epoch_ms//1000 mirrors the
+# UTC-pinned unix_timestamp truncation — the sessionize convention).
+ORACLE_CLICK_ATTRIBUTION = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       (epoch_ms(v.ts) // 1000)::BIGINT AS view_epoch,
+       (epoch_ms(c.ts) // 1000)::BIGINT AS click_epoch
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+"""
+
+
 QUERIES = {
     "stream_sessionize_closed": stream_sessionize_closed,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_dedup_ingest": stream_dedup_ingest,
+    "stream_click_attribution": stream_click_attribution,
 }
 
 ORACLES = {
@@ -128,4 +160,5 @@ ORACLES = {
     "stream_dedup_ingest": (
         "SELECT event_id, user_id, event_type, value FROM events"
     ),
+    "stream_click_attribution": ORACLE_CLICK_ATTRIBUTION,
 }

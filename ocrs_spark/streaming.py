@@ -93,6 +93,89 @@ def stream_dedup_events(
     q.awaitTermination()
 
 
+ATTRIBUTION_WINDOW_SEC = 2 * 60 * 60
+
+
+def stream_view_click_join(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    out_table: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Watermarked stream-stream interval join — the one core
+    Structured Streaming operator the other rows don't exercise:
+    attribute each click to every view by the same user in the
+    preceding two hours (view stream INNER JOIN click stream on
+    user_id + a time-range predicate).
+
+    The watermarks + the range condition are what make this viable as
+    a continuous job: Spark derives a state-eviction bound from them
+    (a buffered view can be dropped once the click-side watermark
+    passes view_ts + window), so join state is O(events per horizon)
+    instead of unbounded. availableNow drains the staged corpus —
+    typically in one micro-batch, so nothing is dropped by the
+    watermark and the batch range-join oracle is exact (the same
+    argument stream_events_tumbling relies on).
+
+    Both sides read the SAME file source (a stream self-join); output
+    keys are the two event ids, so rows stay unique even where epoch
+    truncation collides. UTC session tz makes the zoned cast
+    wall-time-preserving (see stream_events_tumbling).
+
+    ``max_files_per_trigger`` splits the drain into several
+    micro-batches (tests use it to prove cross-batch join state +
+    watermark eviction behave); the driver row leaves it unset so the
+    single-batch oracle-exactness argument above holds."""
+    schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(events_path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user_id AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + interval {ATTRIBUTION_WINDOW_SEC} seconds"
+        ),
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.unix_timestamp("view_ts").alias("view_epoch"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 SESSION_GAP_SEC = 30 * 60
 
 _SESSION_OUT_SCHEMA = (

@@ -320,3 +320,58 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     src = {tuple(r) for r in ev.select("event_id", "user_id", "event_type", "value").collect()}
     got = {tuple(r) for r in out.collect()}
     assert got == src
+
+
+def test_stream_view_click_join_matches_batch_range_join(spark, tmp_path):
+    """Watermarked stream-stream interval join across MULTIPLE
+    micro-batches: stage the events as three ts-contiguous files and
+    drain one file per trigger, so views buffered in batch k must
+    survive in join state to meet clicks arriving in batch k+1, and
+    the 2h watermarks must not evict anything still joinable. With
+    ts-ordered arrival the result equals the exact batch range join."""
+    import os
+
+    from ocrs_spark.streaming import stream_view_click_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "_epoch", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    bounds = ev.select(
+        F.expr("percentile(_epoch, array(0.34, 0.67))")
+    ).first()[0]
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    cuts = [None, *bounds, None]
+    for i in range(3):
+        lo, hi = cuts[i], cuts[i + 1]
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("_epoch") > lo)
+        if hi is not None:
+            part = part.where(F.col("_epoch") <= hi)
+        part = part.drop("_epoch")
+        part.orderBy("ts").coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        (src,) = [
+            p for p in (tmp_path / f"stage{i}").iterdir() if p.suffix == ".parquet"
+        ]
+        dst = events_dir / f"part-{i}.parquet"
+        src.rename(dst)
+        # FileStreamSource orders pending files by modification time;
+        # pin strictly increasing mtimes so batch order == ts order.
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    ckpt = str(tmp_path / "ckpt")
+    stream_view_click_join(
+        spark, str(events_dir), ckpt, "click_attr_t", max_files_per_trigger=1
+    )
+    # one offsets file per micro-batch — prove the drain really split
+    n_batches = len(os.listdir(os.path.join(ckpt, "offsets")))
+    assert n_batches >= 3
+
+    got = sorted(tuple(r) for r in spark.table("click_attr_t").collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    from ocrs_spark.ops.streamrows import ORACLE_CLICK_ATTRIBUTION
+
+    want = sorted(tuple(r) for r in con.sql(ORACLE_CLICK_ATTRIBUTION).fetchall())
+    assert got == want and len(want) > 0
