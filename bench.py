@@ -152,6 +152,9 @@ HEADLINE = [
     "inverted_postings",
     "phrase_match_docs",
     "stream_click_attribution",
+    "sales_rollup",
+    "cohort_retention",
+    "event_transitions",
     "ocr_image_span_texts",
 ]
 

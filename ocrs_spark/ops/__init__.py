@@ -73,6 +73,7 @@ def all_queries():
         skewadvisor,
         skyline,
         streamrows,
+        warehouse,
         temporal,
         textstats,
         trend,
@@ -85,7 +86,7 @@ def all_queries():
     )
 
     out = {}
-    for mod in (relational, anchortext, bloomskip, chunking, hllrollup, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, ireval, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, novelty, zipf, skew, skewadvisor, pii, postings, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, scd2, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, anchortext, bloomskip, chunking, hllrollup, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, ireval, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, novelty, zipf, skew, skewadvisor, pii, postings, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, warehouse, splits, hostrep, triangles, temporal, scd2, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.QUERIES)
     return out
 
@@ -146,6 +147,7 @@ def all_oracles():
         skewadvisor,
         skyline,
         streamrows,
+        warehouse,
         temporal,
         textstats,
         trend,
@@ -158,6 +160,6 @@ def all_oracles():
     )
 
     out = {}
-    for mod in (relational, anchortext, bloomskip, chunking, hllrollup, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, ireval, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, novelty, zipf, skew, skewadvisor, pii, postings, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, splits, hostrep, triangles, temporal, scd2, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
+    for mod in (relational, anchortext, bloomskip, chunking, hllrollup, bootstrap, bpe, captions, classeval, cooccur, gopher, lmscore, dedup, decontam, curation, curastream, drift, funnel, fuzzyjoin, heavyhitters, hybrid, ireval, dedupgraph, imagededup, ivm, semdedup, nbclassify, negatives, similarity, skyline, textstats, trend, mixture, multimodal, novelty, zipf, skew, skewadvisor, pii, postings, pq, ocreval, profiling, quantiles, quota, retrieval, shardexport, packing, streamrows, warehouse, splits, hostrep, triangles, temporal, scd2, webdoc, pdfmixed, webarchive, icebergops, linkgraph, crawlplan, urlnorm, robotsops, zorder):
         out.update(mod.ORACLES)
     return out

@@ -41,7 +41,9 @@ def _norm(v):
     """
     if isinstance(v, np.generic):
         v = v.item()
-    if v is None:
+    if v is None or v is pd.NaT:
+        # Spark collect() renders a NULL timestamp as None; DuckDB's
+        # pandas path renders it as NaT — one null token for both.
         return ("null", None)
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()
