@@ -155,6 +155,8 @@ HEADLINE = [
     "sales_rollup",
     "cohort_retention",
     "event_transitions",
+    "rolling_event_volume",
+    "value_deciles",
     "ocr_image_span_texts",
 ]
 
