@@ -398,3 +398,30 @@ def extraction_metrics(ocr_results: DataFrame) -> DataFrame:
         F.sum("n_lines").alias("total_lines"),
         F.countDistinct("doc_id").alias("docs"),
     )
+
+
+def observe_extraction(ocr_results: DataFrame):
+    """Single-pass variant of extraction_metrics: attach the run metrics
+    to the extraction job itself via ``df.observe``, so a 100 TB run
+    reports spans/errors/words without a SECOND scan-and-OCR pass (the
+    accumulator-backed metrics ride the tasks that already ran).
+    Returns ``(observed_df, observation)`` — write/consume the returned
+    DataFrame, then read ``observation.get`` after the action completes.
+
+    ``docs`` is approx_count_distinct here: observe() metrics must be
+    mergeable accumulator expressions, and exact distinct isn't one —
+    the exact count stays available in extraction_metrics for callers
+    that need it (the driver contract row uses the exact form).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("extraction")
+    observed = ocr_results.observe(
+        obs,
+        F.count(F.lit(1)).alias("spans"),
+        F.count(F.col("error")).alias("errors"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_lines").alias("total_lines"),
+        F.approx_count_distinct("doc_id").alias("docs_approx"),
+    )
+    return observed, obs

@@ -88,6 +88,27 @@ def test_metrics(frames):
     results.unpersist()
 
 
+def test_observe_metrics_match_exact_pass(frames):
+    """df.observe single-pass metrics agree with the second-scan exact
+    aggregate (docs via HLL may differ; spans/errors/words/lines must
+    not) and arrive from the SAME job that produced the output."""
+    from ocrs_spark.pipeline import observe_extraction
+
+    docs, media, _ = frames
+    spans = explode_spans(docs)
+    results = ocr_image_spans(spans, media, {"kind": "fake"})
+    observed, obs = observe_extraction(results)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    exact = extraction_metrics(results).collect()[0]
+    assert got["spans"] == exact["spans"]
+    assert got["errors"] == exact["errors"]
+    assert got["total_words"] == exact["total_words"]
+    assert got["total_lines"] == exact["total_lines"]
+    # HLL at this cardinality is exact in practice; allow sketch slack
+    assert abs(got["docs_approx"] - exact["docs"]) <= max(1, exact["docs"] * 0.05)
+
+
 def test_empty_span_docs_survive_pipeline(spark, frames):
     """Documents with an empty (or null) spans array must appear in the
     woven output with spans == [] — explode_outer keeps them alive, so
