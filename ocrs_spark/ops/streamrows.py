@@ -145,11 +145,54 @@ JOIN events c
 """
 
 
+def stream_value_alerts(spark, sf_dir):
+    """One row per user at the FIRST event where the user's cumulative
+    value crosses the alert threshold (user_id, alert_epoch, cum_cents,
+    n_events) — the stateful monitoring-rule shape (budget caps, abuse
+    limits) that needs arbitrary cross-batch state, not a windowed
+    aggregate."""
+    from ocrs_spark.streaming import stream_value_alerts as runner
+
+    return _staged_events_run(
+        spark,
+        sf_dir,
+        "value_alerts",
+        lambda ev, ck, name: runner(spark, ev, ck, name),
+    )
+
+
+# Exact integer-cents running total: floor(value*100) is the same
+# float64 op in DuckDB and numpy, so the crossing comparison can never
+# flip on summation order. QUALIFY keeps only each user's first
+# crossing — the streaming side latches `fired` in state.
+ORACLE_VALUE_ALERTS = """
+WITH ordered AS (
+  SELECT user_id,
+         (epoch_ms(ts) // 1000)::BIGINT AS ts_epoch,
+         event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), running AS (
+  SELECT user_id, ts_epoch,
+         CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_epoch, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts_epoch, event_id) AS n_events
+  FROM ordered
+)
+SELECT user_id, ts_epoch AS alert_epoch, cum_cents, n_events
+FROM running
+WHERE cum_cents >= 300000
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events) = 1
+"""
+
+
 QUERIES = {
     "stream_sessionize_closed": stream_sessionize_closed,
     "stream_tumbling_agg": stream_tumbling_agg,
     "stream_dedup_ingest": stream_dedup_ingest,
     "stream_click_attribution": stream_click_attribution,
+    "stream_value_alerts": stream_value_alerts,
 }
 
 ORACLES = {
@@ -161,4 +204,5 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value FROM events"
     ),
     "stream_click_attribution": ORACLE_CLICK_ATTRIBUTION,
+    "stream_value_alerts": ORACLE_VALUE_ALERTS,
 }

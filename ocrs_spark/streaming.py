@@ -176,6 +176,221 @@ def stream_view_click_join(
     q.awaitTermination()
 
 
+ALERT_THRESHOLD_CENTS = 3000 * 100
+
+_ALERT_OUT_SCHEMA = (
+    "user_id bigint, alert_epoch bigint, cum_cents bigint, n_events bigint"
+)
+_ALERT_STATE_SCHEMA = "cum_cents bigint, n_events bigint, fired boolean"
+
+
+def _alerts_group(key, pdfs, state):
+    """applyInPandasWithState function: per-user running total in EXACT
+    integer cents (floor(value*100) — float64 ops are bit-identical in
+    Spark/DuckDB/numpy, so the crossing comparison can never flip on
+    summation order), firing ONE alert row at the first event where the
+    cumulative total crosses the threshold. State keeps accumulating
+    after the alert so a restart replays to the same answer."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    ev = pd.concat(list(pdfs)).sort_values(["ts_epoch", "event_id"])
+    if state.exists:
+        cum, n, fired = state.get
+        cum, n, fired = int(cum), int(n), bool(fired)
+    else:
+        cum, n, fired = 0, 0, False
+    out = []
+    cents = np.floor(ev["value"].to_numpy(np.float64) * 100).astype(np.int64)
+    for es, c in zip(ev["ts_epoch"].to_numpy(np.int64), cents):
+        cum += int(c)
+        n += 1
+        if not fired and cum >= ALERT_THRESHOLD_CENTS:
+            fired = True
+            out.append((user_id, int(es), cum, n))
+    state.update((cum, n, fired))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "alert_epoch", "cum_cents", "n_events"]
+        )
+
+
+def stream_value_alerts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_table: str,
+    max_files_per_trigger: int | None = None,
+    sink_path: str | None = None,
+) -> None:
+    """Stateful threshold alerting: emit one row per user at the first
+    event where the user's cumulative value crosses the threshold —
+    the monitoring-rule shape (budget caps, abuse limits) that needs
+    arbitrary cross-batch state, not a windowed aggregate. Runs on
+    ``applyInPandasWithState``; ``stream_value_alerts_tws`` is the
+    transformWithStateInPandas twin (gated: the TWS state-server
+    protocol needs google.protobuf, absent in this sandbox).
+
+    ``max_files_per_trigger`` splits the drain into micro-batches so
+    tests can prove the running total and the fired latch survive in
+    state across batches. ``sink_path`` switches to a parquet file sink
+    (the memory sink cannot recover from a checkpoint, so the restart
+    test needs a durable sink — exactly what a production alert feed
+    would use)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(events_dir)
+        .withColumn(
+            "ts_epoch",
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+        )
+        .select("user_id", "event_id", "ts_epoch", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _alerts_group,
+            outputStructType=_ALERT_OUT_SCHEMA,
+            stateStructType=_ALERT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if sink_path is not None:
+        q = writer.format("parquet").option("path", sink_path).start()
+    else:
+        q = writer.format("memory").queryName(out_table).start()
+    q.awaitTermination()
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas drives its Python-side state server
+    over protobuf; without the package the runner crashes at init."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_value_alerts_tws(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str, out_table: str
+) -> None:
+    """The same alert operator on Spark 4's transformWithStateInPandas
+    (typed per-state-variable API + RocksDB state store) — committed
+    import-gated like the ONNX harness: tests assert equality with the
+    applyInPandasWithState leg whenever google.protobuf exists."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_type = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("alert_epoch", LongType()),
+            StructField("cum_cents", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("cum_cents", LongType()),
+            StructField("n_events", LongType()),
+            StructField("fired", BooleanType()),
+        ]
+    )
+
+    class AlertProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("totals", state_type)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            ev = pd.concat(list(rows)).sort_values(["ts_epoch", "event_id"])
+            if self._state.exists():
+                cum, n, fired = self._state.get()
+                cum, n, fired = int(cum), int(n), bool(fired)
+            else:
+                cum, n, fired = 0, 0, False
+            out = []
+            cents = np.floor(ev["value"].to_numpy(np.float64) * 100).astype(
+                np.int64
+            )
+            for es, c in zip(ev["ts_epoch"].to_numpy(np.int64), cents):
+                cum += int(c)
+                n += 1
+                if not fired and cum >= ALERT_THRESHOLD_CENTS:
+                    fired = True
+                    out.append((key[0], int(es), cum, n))
+            self._state.update((cum, n, fired))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["user_id", "alert_epoch", "cum_cents", "n_events"],
+                )
+
+        def close(self):
+            pass
+
+    # TWS requires the RocksDB state store; scope the provider switch
+    # to this query and restore the session's default afterwards.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn(
+            "ts_epoch",
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+        )
+        .select("user_id", "event_id", "ts_epoch", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            AlertProcessor(),
+            outputStructType=out_type,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
+
+
 SESSION_GAP_SEC = 30 * 60
 
 _SESSION_OUT_SCHEMA = (

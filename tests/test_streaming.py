@@ -375,3 +375,111 @@ def test_stream_view_click_join_matches_batch_range_join(spark, tmp_path):
 
     want = sorted(tuple(r) for r in con.sql(ORACLE_CLICK_ATTRIBUTION).fetchall())
     assert got == want and len(want) > 0
+
+
+def _oracle_value_alerts():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    from ocrs_spark.ops.streamrows import ORACLE_VALUE_ALERTS
+
+    return sorted(tuple(r) for r in con.sql(ORACLE_VALUE_ALERTS).fetchall())
+
+
+def test_stream_value_alerts_matches_batch_oracle(spark, tmp_path):
+    """Single-drain run equals the batch first-crossing oracle, and the
+    fixture is non-vacuous both ways: some users alert, some never do."""
+    from ocrs_spark.streaming import stream_value_alerts
+
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(events_dir)
+    stream_value_alerts(spark, events_dir, str(tmp_path / "ckpt"), "alerts_out")
+    got = sorted(tuple(r) for r in spark.table("alerts_out").collect())
+    want = _oracle_value_alerts()
+    assert got == want and len(want) > 0
+    n_users = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id"
+    ).distinct().count()
+    assert len(want) < n_users  # threshold actually filters someone out
+
+
+def test_stream_value_alerts_state_survives_batches_and_restart(spark, tmp_path):
+    """Stage the corpus as three ts-contiguous files, drain one file per
+    trigger (cross-BATCH state), then kill/restart between drains with
+    the same checkpoint (cross-RESTART state): the union of emitted
+    alerts must still be exactly the batch oracle — each user's running
+    total accumulates across batches and the fired latch prevents a
+    second alert after restart."""
+    import os
+
+    from ocrs_spark.streaming import stream_value_alerts
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "_epoch", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    bounds = ev.select(F.expr("percentile(_epoch, array(0.34, 0.67))")).first()[0]
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    cuts = [None, *bounds, None]
+    for i in range(3):
+        lo, hi = cuts[i], cuts[i + 1]
+        part = ev
+        if lo is not None:
+            part = part.where(F.col("_epoch") > lo)
+        if hi is not None:
+            part = part.where(F.col("_epoch") <= hi)
+        part.drop("_epoch").orderBy("ts").coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        (src,) = [
+            p for p in (tmp_path / f"stage{i}").iterdir() if p.suffix == ".parquet"
+        ]
+        dst = events_dir / f"part-{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "alerts_sink")
+    # Run 1 must stop after file 0, but availableNow drains everything
+    # on disk — so hide files 1-2 for the first run and reveal them for
+    # the restart. The sink is a durable parquet file sink: the memory
+    # sink cannot recover from a checkpoint.
+    hidden = [events_dir / f"part-{i}.parquet" for i in (1, 2)]
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for p in hidden:
+        p.rename(stash / p.name)
+    stream_value_alerts(spark, str(events_dir), ckpt, "_", sink_path=sink)
+    # Restart: reveal the remaining files, resume from the checkpoint
+    # (same ckpt dir + sink, new query), one file per micro-batch.
+    # FileStreamSource orders pending files by (mtime, listing order);
+    # pin strictly increasing mtimes so batch order == ts order.
+    for j, p in enumerate(hidden):
+        (stash / p.name).rename(p)
+        os.utime(p, (1_000_010 + j, 1_000_010 + j))
+    stream_value_alerts(
+        spark, str(events_dir), ckpt, "_",
+        max_files_per_trigger=1, sink_path=sink,
+    )
+    n_batches = len(os.listdir(os.path.join(ckpt, "offsets")))
+    assert n_batches >= 3  # the drain genuinely split
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert got == _oracle_value_alerts()
+
+
+def test_stream_value_alerts_tws_twin_matches(spark, tmp_path):
+    """transformWithStateInPandas twin produces the identical alert set
+    — runs only where google.protobuf exists (TWS drives its Python
+    state server over protobuf; absent in this sandbox)."""
+    import pytest
+
+    from ocrs_spark.streaming import stream_value_alerts_tws, tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed; TWS runner unavailable")
+    events_dir = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(events_dir)
+    stream_value_alerts_tws(
+        spark, events_dir, str(tmp_path / "ckpt"), "alerts_tws_out"
+    )
+    got = sorted(tuple(r) for r in spark.table("alerts_tws_out").collect())
+    assert got == _oracle_value_alerts()
