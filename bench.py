@@ -130,6 +130,7 @@ HEADLINE = [
     "text_clean",
     "html_metadata",
     "iceberg_sorted_range_scan",
+    "iceberg_metadata_counts",
     "lm_perplexity",
     "sequence_packing",
     "image_dhash_pairs",
@@ -152,6 +153,7 @@ HEADLINE = [
     "inverted_postings",
     "phrase_match_docs",
     "stream_click_attribution",
+    "stream_value_alerts",
     "sales_rollup",
     "cohort_retention",
     "event_transitions",

@@ -169,12 +169,34 @@ def iceberg_bucket_point_lookup(spark, sf_dir: str):
     return out.select(*_COLS)
 
 
+def iceberg_metadata_counts(spark, sf_dir: str):
+    """Per-lang row counts answered ONLY from manifest statistics —
+    zero data files opened. At 100 TB this is the difference between a
+    sub-second driver-side planning query and a full-corpus scan:
+    Iceberg manifests carry exact per-file record counts, so COUNT(*)
+    GROUP BY an identity partition column folds to a sum over manifest
+    entries (the same stats-based answering engines do for
+    ``SELECT count(*)``). The oracle counts the raw rows, so a wrong
+    record_count anywhere in the commit path goes red; pytest
+    additionally deletes every data file and re-asks, proving the plan
+    truly never touches them."""
+    table, _s1, _s2 = corpus_table(spark, sf_dir)
+    parts = table.inspect_partitions(spark)
+    # partition is the JSON tuple {"lang": "<value>"} — identity
+    # transform, so the value IS the column value.
+    return parts.select(
+        F.get_json_object("partition", "$.lang").alias("lang"),
+        F.col("record_count").alias("n_docs"),
+    ).groupBy("lang").agg(F.sum("n_docs").alias("n_docs"))
+
+
 QUERIES = {
     "iceberg_snapshot_scan": iceberg_snapshot_scan,
     "iceberg_time_travel_scan": iceberg_time_travel_scan,
     "iceberg_partition_pruned_scan": iceberg_partition_pruned_scan,
     "iceberg_bucket_point_lookup": iceberg_bucket_point_lookup,
     "iceberg_sorted_range_scan": iceberg_sorted_range_scan,
+    "iceberg_metadata_counts": iceberg_metadata_counts,
 }
 
 ORACLES = {
@@ -196,5 +218,9 @@ ORACLES = {
     "iceberg_sorted_range_scan": (
         "SELECT doc_id, text, lang, source, n_chars FROM documents "
         f"WHERE doc_id BETWEEN {SORTED_RANGE[0]} AND {SORTED_RANGE[1]}"
+    ),
+    "iceberg_metadata_counts": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY lang"
     ),
 }

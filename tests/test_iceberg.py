@@ -864,3 +864,45 @@ def test_manifests_and_refs_metadata_tables(spark, docs, tmp_path):
     assert len(m2) == 1
     # the fold preserves every live data file as EXISTING
     assert m2["existing_data_files_count"].iloc[0] == m["added_data_files_count"].sum()
+
+
+def test_metadata_count_never_opens_data_files(spark, docs, tmp_path):
+    """COUNT(*) GROUP BY the identity partition column is answered
+    purely from manifest record_count stats: delete every data file on
+    disk and the per-lang counts must STILL be exact (and a real scan
+    must now be impossible), proving the metadata path reads zero data
+    bytes — the 100-TB planning-query property."""
+    import os
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    t = _fresh_table(docs, tmp_path, [("lang", "identity")])
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+    t.append(docs.filter(F.col("doc_id") % 2 == 1))
+    want = {
+        (r["lang"], r["cnt"])
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+
+    data_files = list(pathlib.Path(t.location).rglob("*.parquet"))
+    # manifests are avro; everything parquet under the table IS data
+    assert data_files
+    for p in data_files:
+        os.remove(p)
+
+    loaded = IcebergTable.load(t.location)
+    got = {
+        (r["lang"], r["n_docs"])
+        for r in loaded.inspect_partitions(spark)
+        .select(
+            F.get_json_object("partition", "$.lang").alias("lang"),
+            F.col("record_count").alias("n_docs"),
+        )
+        .collect()
+    }
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        loaded.scan(spark).collect()
