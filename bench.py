@@ -149,6 +149,7 @@ HEADLINE = [
     "corpus_drift",
     "zipf_token_fit",
     "ngram_novelty",
+    "crawl_depth_bfs",
     "scd2_user_type_history",
     "inverted_postings",
     "phrase_match_docs",

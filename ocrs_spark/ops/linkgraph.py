@@ -153,6 +153,66 @@ def pagerank_links(spark, sf_dir: str):
     )
 
 
+BFS_SEEDS = 5  # seed set: doc_id < 5 ("crawl entry points")
+BFS_MAX_DEPTH = 40  # hard cap on BOTH engines; measured diameter is 13
+                    # at sf0.1, so the cap never truncates a real path
+
+
+def crawl_depth_bfs(spark, sf_dir):
+    """Minimum link-hop distance from the seed pages to every reachable
+    page — the crawl-depth / seed-proximity prior curation pipelines
+    use (pages far from any trusted seed are spam-likelier).
+
+    Distributed BFS as iterative joins with TRUE early termination: the
+    driver loop stops when a frontier comes back empty (13 rounds at
+    sf0.1), not at the worst-case cap. Each round is one hash join
+    (frontier x edges, both shuffled on the join key) plus a left-anti
+    join against the visited set; ``localCheckpoint`` materializes the
+    new frontier so the plan for round k is O(1) deep instead of O(k)
+    — the standard lineage-truncation move for iterative DataFrame
+    algorithms (same reason MLlib checkpoints ALS). At 100 TB the edge
+    list is a bucketed table on ``src`` so the per-round join never
+    reshuffles the big side; the frontier/visited sides are O(nodes),
+    not O(edges). The oracle is DuckDB's recursive CTE with the same
+    depth cap, min-depth per node."""
+    edges = _edges(spark, sf_dir)
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < BFS_SEEDS)
+        .select(F.col("doc_id").alias("node"), F.lit(0).alias("depth"))
+    )
+    frontier = seeds.localCheckpoint()
+    visited = frontier
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.select(F.col("node").alias("doc_id"), "depth")
+
+
+def _oracle_bfs_sql() -> str:
+    return f"""
+WITH RECURSIVE edges AS ({_oracle_edges_sql()}),
+bfs AS (
+  SELECT doc_id AS node, 0 AS depth FROM documents WHERE doc_id < {BFS_SEEDS}
+  UNION
+  SELECT e.dst AS node, b.depth + 1 AS depth
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.depth < {BFS_MAX_DEPTH}
+)
+SELECT node AS doc_id, MIN(depth) AS depth FROM bfs GROUP BY node
+"""
+
+
 def _oracle_edges_sql() -> str:
     n = "(SELECT COUNT(*) FROM documents)"
     return (
@@ -185,9 +245,11 @@ def _oracle_pagerank_sql() -> str:
 QUERIES = {
     "link_graph_edges": link_graph_edges,
     "pagerank_links": pagerank_links,
+    "crawl_depth_bfs": crawl_depth_bfs,
 }
 
 ORACLES = {
     "link_graph_edges": _oracle_edges_sql(),
     "pagerank_links": _oracle_pagerank_sql(),
+    "crawl_depth_bfs": _oracle_bfs_sql(),
 }

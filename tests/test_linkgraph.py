@@ -67,3 +67,27 @@ def test_pagerank_favors_in_degree(spark):
         hot = max(indeg, key=indeg.get)
         assert ranks[hot] > max(ranks[d] for d in zero_in)
     assert ITERATIONS == 5  # the oracle SQL is unrolled for exactly this
+
+
+def test_bfs_depths_satisfy_shortest_path_invariants(spark):
+    """BFS structural invariants, independent of the SQL oracle: seeds
+    sit at depth 0, every deeper node has an in-neighbor exactly one
+    level up (tight triangle inequality for unweighted BFS), and no
+    edge skips more than one level downward."""
+    from ocrs_spark.ops.linkgraph import BFS_SEEDS, crawl_depth_bfs, link_graph_edges
+
+    depths = {
+        r["doc_id"]: r["depth"] for r in crawl_depth_bfs(spark, SF).collect()
+    }
+    edges = [(r["src"], r["dst"]) for r in link_graph_edges(spark, SF).collect()]
+    assert all(depths[s] == 0 for s in range(BFS_SEEDS))
+    assert max(depths.values()) > 1  # multi-round, not a one-hop fixture
+    preds = {}
+    for s, d in edges:
+        if s in depths and d in depths:
+            # an edge can close at most one level of distance
+            assert depths[d] <= depths[s] + 1
+            preds.setdefault(d, set()).add(depths[s])
+    for node, dep in depths.items():
+        if dep > 0:
+            assert dep - 1 in preds[node]  # a witness predecessor exists
