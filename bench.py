@@ -155,6 +155,7 @@ HEADLINE = [
     "phrase_match_docs",
     "stream_click_attribution",
     "stream_value_alerts",
+    "stream_late_data_drops",
     "sales_rollup",
     "cohort_retention",
     "event_transitions",

@@ -145,6 +145,95 @@ JOIN events c
 """
 
 
+def _staged_late_run(spark, sf_dir, kind, runner):
+    """Stage events as three files with pinned, strictly-increasing
+    mtimes (FileStreamSource drains them in this order, one per
+    trigger):
+
+    - part-0 "on-time": everything except the re-deliveries; carries
+      the global max event time, so after batch 0 the watermark is
+      (max ts - delay) for the whole rest of the run.
+    - part-1 "late but in grace": old rows (ts < max - 4h) re-delivered
+      one batch later. Batch 1's late-input filter still uses batch 0's
+      PLANNED watermark (epoch), so they merge into their still-open
+      windows and are counted.
+    - part-2 "late past grace": more old rows, two batches later. Batch
+      2's late filter uses the watermark planned for batch 1
+      (max - 2h), and every part-2 row's window closed before that —
+      dropped row-for-row.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    name = _DONE.get(key)
+    if name is None:
+        name = f"{kind}_" + uuid.uuid4().hex[:8]
+        base = tempfile.mkdtemp(prefix=f"ocrs_stream_{kind}_")
+        events_dir = f"{base}/events"
+        os.makedirs(events_dir)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        (max_ts,) = ev.agg(F.max("ts")).first()
+        old = F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")
+        parts = [
+            ev.filter(~((F.col("event_id") % 10).isin(0, 5) & old)),
+            ev.filter((F.col("event_id") % 10 == 0) & old),
+            ev.filter((F.col("event_id") % 10 == 5) & old),
+        ]
+        for i, part in enumerate(parts):
+            stage = f"{base}/stage{i}"
+            part.coalesce(1).write.parquet(stage)
+            (src,) = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ]
+            dst = f"{events_dir}/part-{i}.parquet"
+            os.rename(f"{stage}/{src}", dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        runner(events_dir, f"{base}/ckpt", name)
+        _DONE[key] = name
+    return spark.table(name)
+
+
+def stream_late_data_drops(spark, sf_dir):
+    """Finalized hourly windows emitted by the append-mode watermarked
+    aggregation over the out-of-order staged delivery (window_start,
+    event_type, n_events, sum_value): in-grace re-deliveries counted,
+    past-grace re-deliveries dropped, trailing 2h of windows held."""
+    from ocrs_spark.streaming import stream_tumbling_late
+
+    return _staged_late_run(
+        spark,
+        sf_dir,
+        "late_drops",
+        lambda ev, ck, name: stream_tumbling_late(spark, ev, ck, name),
+    )
+
+
+# Batch replication of the watermark semantics (see stream_tumbling_late
+# docstring): kept = on-time ∪ in-grace re-delivery (part-1); part-2 is
+# dropped entirely (every row's window end <= max - 2h by the ts <
+# max - 4h construction); emitted = windows with end <= max - 2h.
+ORACLE_LATE_DROPS = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+kept AS (
+  SELECT e.* FROM events e, m
+  WHERE NOT (event_id % 10 = 5 AND e.ts < m.mx - INTERVAL 4 HOUR)
+),
+agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM kept GROUP BY 1, 2
+)
+SELECT epoch(wstart)::BIGINT AS window_start, event_type,
+       n_events, sum_value
+FROM agg, m
+WHERE wstart + INTERVAL 1 HOUR <= m.mx - INTERVAL 2 HOUR
+"""
+
+
 def stream_value_alerts(spark, sf_dir):
     """One row per user at the FIRST event where the user's cumulative
     value crosses the alert threshold (user_id, alert_epoch, cum_cents,
@@ -193,6 +282,7 @@ QUERIES = {
     "stream_dedup_ingest": stream_dedup_ingest,
     "stream_click_attribution": stream_click_attribution,
     "stream_value_alerts": stream_value_alerts,
+    "stream_late_data_drops": stream_late_data_drops,
 }
 
 ORACLES = {
@@ -205,4 +295,5 @@ ORACLES = {
     ),
     "stream_click_attribution": ORACLE_CLICK_ATTRIBUTION,
     "stream_value_alerts": ORACLE_VALUE_ALERTS,
+    "stream_late_data_drops": ORACLE_LATE_DROPS,
 }

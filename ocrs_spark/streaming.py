@@ -56,6 +56,61 @@ def stream_events_tumbling(
     q.awaitTermination()
 
 
+def stream_tumbling_late(
+    spark: SparkSession, events_path: str, checkpoint_dir: str, out_table: str
+) -> None:
+    """The hourly windowed aggregation in APPEND mode over a staged
+    out-of-order delivery — the row that proves the watermark's actual
+    contract, which every other streaming row deliberately avoids:
+
+    - late rows arriving while their window is still open (inside the
+      grace interval) are COUNTED,
+    - late rows arriving after the window was finalized are DROPPED
+      row-for-row,
+    - windows newer than (max event time - delay) stay open and are
+      never emitted.
+
+    Spark tracks two watermark values per micro-batch (the 3.4+ split):
+    late-input filtering uses the watermark PLANNED FOR THE PREVIOUS
+    batch, state eviction uses the CURRENT batch's. With the staged
+    3-file corpus (on-time bulk carrying the global max event time,
+    then two old-row re-deliveries) and one file per trigger, both
+    values are pure functions of the data, so the exact drop set is
+    reproducible in batch SQL (ORACLE_LATE_DROPS). Append mode is what
+    a production pipeline writing finalized windows downstream uses —
+    complete mode re-emits everything and never drops."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+        # zoned timestamp required for watermarks; UTC session tz makes
+        # the cast wall-time-preserving (see stream_events_tumbling).
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_dedup_events(
     spark: SparkSession, events_path: str, checkpoint_dir: str, out_table: str
 ) -> None:

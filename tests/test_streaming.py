@@ -483,3 +483,35 @@ def test_stream_value_alerts_tws_twin_matches(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in spark.table("alerts_tws_out").collect())
     assert got == _oracle_value_alerts()
+
+
+def test_stream_late_data_drops_is_nonvacuous(spark):
+    """The staged out-of-order corpus must exercise all three watermark
+    behaviors: in-grace late rows counted (part-1 rows appear in the
+    output), past-grace late rows dropped (total emitted < total kept
+    would be), and trailing windows held open (fewer windows than the
+    full batch agg)."""
+    from ocrs_spark.ops.streamrows import stream_late_data_drops
+
+    SF = "/root/testdata/sf0.001"
+    out = stream_late_data_drops(spark, SF)
+    emitted_rows = out.agg(F.sum("n_events")).first()[0]
+    emitted_windows = out.count()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    (max_ts,) = ev.agg(F.max("ts")).first()
+    old = F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")
+    n_total = ev.count()
+    n_grace = ev.filter((F.col("event_id") % 10 == 0) & old).count()
+    n_past = ev.filter((F.col("event_id") % 10 == 5) & old).count()
+    n_held = ev.filter(
+        F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    ).count()
+    assert n_grace > 0 and n_past > 0 and n_held > 0  # fixture shape
+    # past-grace rows dropped, held rows not emitted, in-grace counted:
+    assert emitted_rows == n_total - n_past - n_held
+    full_windows = (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour"), "event_type"
+        ).count().count()
+    )
+    assert emitted_windows < full_windows
