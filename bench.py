@@ -131,6 +131,7 @@ HEADLINE = [
     "html_metadata",
     "iceberg_sorted_range_scan",
     "iceberg_metadata_counts",
+    "iceberg_upsert_scan",
     "lm_perplexity",
     "sequence_packing",
     "image_dhash_pairs",
@@ -150,6 +151,7 @@ HEADLINE = [
     "zipf_token_fit",
     "ngram_novelty",
     "crawl_depth_bfs",
+    "span_corruption_samples",
     "scd2_user_type_history",
     "inverted_postings",
     "phrase_match_docs",

@@ -169,6 +169,72 @@ def iceberg_bucket_point_lookup(spark, sf_dir: str):
     return out.select(*_COLS)
 
 
+UPSERT_MOD = 7  # doc_id % 7 == 0 rows get replaced
+INSERT_BASE = 10_000_000  # inserted rows live far above real doc_ids
+DELETE_MOD = 13  # doc_id % 13 == 3 rows get position-deleted
+
+
+def _mor_table(spark, sf_dir: str):
+    """documents -> identity(lang) table mutated the way a living
+    corpus is: one full append, then a MERGE (equality-delete upsert)
+    replacing every doc_id % 7 == 0 row with re-extracted text and
+    inserting a small batch of brand-new docs, then a row-level
+    ``delete_where`` (position deletes) dropping doc_id % 13 == 3.
+    Scans must merge-on-read all three layers."""
+    key = (spark.sparkContext.applicationId, sf_dir, "mor")
+    if key not in _TABLES:
+        _register_cleanup()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        loc = tempfile.mkdtemp(prefix="ocrs_icb_")
+        _TEMP_DIRS.append(loc)
+        table = IcebergTable.create(
+            loc, docs.schema, partition_by=[("lang", "identity")]
+        )
+        table.append(docs)
+        updates = docs.filter(F.col("doc_id") % UPSERT_MOD == 0).withColumn(
+            "text", F.upper(F.col("text"))
+        )
+        inserts = (
+            docs.filter(F.col("doc_id") < 3)
+            .withColumn("doc_id", F.col("doc_id") + INSERT_BASE)
+            .withColumn("lang", F.lit("xx"))
+        )
+        table.upsert(spark, updates.unionByName(inserts), ["doc_id"])
+        table.delete_where(
+            spark, F.col("doc_id") % DELETE_MOD == 3
+        )
+        _TABLES[key] = (loc, None, None)
+    loc, _, _ = _TABLES[key]
+    return IcebergTable.load(loc)
+
+
+def iceberg_upsert_scan(spark, sf_dir: str):
+    """Merge-on-read scan after an equality-delete MERGE and a
+    position-delete: replaced rows must show the new text exactly once,
+    inserted rows must appear, deleted rows must be gone — the read
+    path a continuously-updated 10^12-doc corpus serves every query
+    from between compactions. The oracle rebuilds the expected state
+    relationally from the raw documents."""
+    table = _mor_table(spark, sf_dir)
+    return table.scan(spark).select(*_COLS)
+
+
+ORACLE_UPSERT_SCAN = f"""
+WITH merged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {UPSERT_MOD} = 0 THEN upper(text) ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {INSERT_BASE}, text, 'xx', source, n_chars
+  FROM documents WHERE doc_id < 3
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM merged
+WHERE NOT (doc_id % {DELETE_MOD} = 3)
+"""
+
+
 def iceberg_metadata_counts(spark, sf_dir: str):
     """Per-lang row counts answered ONLY from manifest statistics —
     zero data files opened. At 100 TB this is the difference between a
@@ -197,6 +263,7 @@ QUERIES = {
     "iceberg_bucket_point_lookup": iceberg_bucket_point_lookup,
     "iceberg_sorted_range_scan": iceberg_sorted_range_scan,
     "iceberg_metadata_counts": iceberg_metadata_counts,
+    "iceberg_upsert_scan": iceberg_upsert_scan,
 }
 
 ORACLES = {
@@ -223,4 +290,5 @@ ORACLES = {
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
         "FROM documents GROUP BY lang"
     ),
+    "iceberg_upsert_scan": ORACLE_UPSERT_SCAN,
 }
