@@ -152,6 +152,7 @@ HEADLINE = [
     "ngram_novelty",
     "crawl_depth_bfs",
     "span_corruption_samples",
+    "dpp_pruned_join",
     "scd2_user_type_history",
     "inverted_postings",
     "phrase_match_docs",

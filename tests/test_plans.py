@@ -329,3 +329,22 @@ def test_semdedup_assignment_stays_narrow(spark):
     plan = plan_of(semantic_dedup(spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan and "CrossJoin" not in plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark):
+    """The date-dim join over the hive-partitioned fact layout must
+    never plan a full fact scan: the scan's PartitionFilters carry both
+    the runtime dynamicpruning subquery (dim broadcast reused as the
+    pruning filter) and the constraint Catalyst derived through the
+    join equality — either alone keeps a 10^12-row fact from being
+    read whole."""
+    from ocrs_spark.ops.dpp import dpp_pruned_join
+
+    plan = plan_of(dpp_pruned_join(spark, SF_DIR))
+    assert "dynamicpruningexpression" in plan.lower()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert scan_lines and any(
+        "dynamicpruning" in ln for ln in scan_lines
+    )
