@@ -153,6 +153,7 @@ HEADLINE = [
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",
+    "kmv_crawl_overlap",
     "scd2_user_type_history",
     "inverted_postings",
     "phrase_match_docs",
