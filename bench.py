@@ -154,6 +154,7 @@ HEADLINE = [
     "span_corruption_samples",
     "dpp_pruned_join",
     "kmv_crawl_overlap",
+    "variant_props_stats",
     "scd2_user_type_history",
     "inverted_postings",
     "phrase_match_docs",
