@@ -234,6 +234,42 @@ WHERE wstart + INTERVAL 1 HOUR <= m.mx - INTERVAL 2 HOUR
 """
 
 
+def stream_tumbling_update_upsert(spark, sf_dir):
+    """Final per-window state after the UPDATE-mode aggregation over
+    the same out-of-order staged delivery, MERGEd micro-batch by
+    micro-batch into an Iceberg table via equality-delete upserts
+    (window_start, event_type, n_events, sum_value). Unlike append
+    mode, open trailing windows ARE present (update emits changed
+    state), so the oracle is the plain batch aggregation of the
+    non-dropped rows."""
+    import tempfile
+
+    from ocrs_spark.iceberg import IcebergTable
+    from ocrs_spark.streaming import stream_tumbling_update
+
+    def run(events_dir, ckpt, name):
+        loc = tempfile.mkdtemp(prefix="ocrs_stream_upd_") + "/tbl"
+        stream_tumbling_update(spark, events_dir, ckpt, loc)
+        IcebergTable.load(loc).scan(spark).createOrReplaceTempView(name)
+
+    return _staged_late_run(spark, sf_dir, "late_update", run)
+
+
+# Update mode + keyed upsert: final state = batch agg over the kept
+# rows (on-time ∪ in-grace re-delivery); past-grace rows dropped by the
+# same two-watermark rule; open trailing windows INCLUDED.
+ORACLE_LATE_UPDATE = """
+WITH m AS (SELECT max(ts) AS mx FROM events),
+kept AS (
+  SELECT e.* FROM events e, m
+  WHERE NOT (event_id % 10 = 5 AND e.ts < m.mx - INTERVAL 4 HOUR)
+)
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM kept GROUP BY 1, 2
+"""
+
+
 def stream_value_alerts(spark, sf_dir):
     """One row per user at the FIRST event where the user's cumulative
     value crosses the alert threshold (user_id, alert_epoch, cum_cents,
@@ -283,6 +319,7 @@ QUERIES = {
     "stream_click_attribution": stream_click_attribution,
     "stream_value_alerts": stream_value_alerts,
     "stream_late_data_drops": stream_late_data_drops,
+    "stream_tumbling_update_upsert": stream_tumbling_update_upsert,
 }
 
 ORACLES = {
@@ -296,4 +333,5 @@ ORACLES = {
     "stream_click_attribution": ORACLE_CLICK_ATTRIBUTION,
     "stream_value_alerts": ORACLE_VALUE_ALERTS,
     "stream_late_data_drops": ORACLE_LATE_DROPS,
+    "stream_tumbling_update_upsert": ORACLE_LATE_UPDATE,
 }
