@@ -161,6 +161,7 @@ HEADLINE = [
     "stream_click_attribution",
     "stream_value_alerts",
     "stream_late_data_drops",
+    "stream_tumbling_update_upsert",
     "sales_rollup",
     "cohort_retention",
     "event_transitions",
