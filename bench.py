@@ -150,6 +150,8 @@ HEADLINE = [
     "corpus_drift",
     "zipf_token_fit",
     "ngram_novelty",
+    "exact_substring_spans",
+    "dsir_importance_sample",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",

@@ -1,0 +1,170 @@
+"""Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+score every document by how much more likely its hashed n-gram
+features are under a target-domain sample than under the raw corpus,
+then keep the top-K — the pretraining-data selection stage that sits
+between the hard quality filters (gopher.py) and model-based scoring
+(lmscore.py's perplexity, nbclassify.py's NB classes). What makes it
+distinct from both: the feature space is HASHED into a fixed B
+buckets, so the "model" is exactly 2*B counts no matter how large the
+vocabulary grows — the published method's trick for scoring trillions
+of tokens against a small target set.
+
+Features are unigram + bigram occurrences, hashed md5-prefix mod B
+(the same cross-engine int idiom as dedup.py's SimHash). The target
+sample here is intrinsic and deterministic: documents mentioning
+'spark' at least three times stand in for the in-domain seed set.
+Importance weight per doc: sum over feature occurrences of
+ln p_target(bucket) - ln p_raw(bucket), with add-one smoothing over
+the B buckets. Selection is the top-K by rounded weight with doc_id
+tiebreak — deterministic on both engines.
+
+100 TB shape: one explode + one (doc_id, bucket) groupBy for the
+feature counts (map-side combinable; bucket keys uniform by md5);
+both bucket-distribution tables aggregate to <= B rows and broadcast
+back into the scoring join, and the two grand totals ride a one-row
+cross join (no driver round-trip). The final top-K is an orderBy +
+limit — Spark's TakeOrdered, per-partition heads merged, never a
+global sort. Weight sums round to 6 dp: each term is O(1) and docs
+carry ~100 features, so cross-engine libm/fold-order noise (~1e-13)
+sits far below the rounding grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load_tables
+
+N_BUCKETS = 1024
+TOP_K = 100
+TARGET_MIN_HITS = 3  # docs with >= this many 'spark' tokens are the seed
+
+
+def _doc_bucket_counts(docs):
+    """(doc_id, is_target, bk, c): per-document hashed-feature counts."""
+    bigrams = (
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1),"
+        " i -> concat(ws[i-1], ' ', ws[i]))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        (
+            F.size(F.expr("filter(ws, t -> t = 'spark')"))
+            >= TARGET_MIN_HITS
+        ).alias("is_target"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(F.col("ws"), F.expr(bigrams))).alias("g"),
+    )
+    return (
+        grams.select(
+            "doc_id",
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+                % N_BUCKETS
+            ).alias("bk"),
+        )
+        .groupBy("doc_id", "is_target", "bk")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def dsir_importance_sample(spark, sf_dir):
+    """Top-K documents by hashed-feature importance weight:
+    (doc_id, n_feats, logw)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    db = _doc_bucket_counts(docs)
+
+    target_counts = (
+        db.filter("is_target")
+        .groupBy("bk")
+        .agg(F.sum("c").cast("long").alias("ct"))
+    )
+    raw_counts = db.groupBy("bk").agg(F.sum("c").cast("long").alias("cr"))
+    # Grand totals as 1-row frames, broadcast into the scoring join.
+    totals_t = target_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
+    totals_r = raw_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("tr"))
+
+    scored = (
+        db.join(F.broadcast(raw_counts), "bk")
+        .join(F.broadcast(target_counts), "bk", "left")
+        .crossJoin(F.broadcast(totals_t))
+        .crossJoin(F.broadcast(totals_r))
+        .select(
+            "doc_id",
+            "c",
+            (
+                F.col("c")
+                * (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + N_BUCKETS)
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("tr") + N_BUCKETS)
+                    )
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.round(F.sum("contrib"), 6).alias("logw"),
+        )
+    )
+    return scored.orderBy(F.desc("logw"), F.asc("doc_id")).limit(TOP_K)
+
+
+ORACLE_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(list_filter(string_split(text, ' '), t -> t = 'spark'))
+           >= {TARGET_MIN_HITS} AS is_target
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(ws,
+           [ws[i] || ' ' || ws[i + 1]
+            for i in range(1, greatest(len(ws) - 1, 0) + 1)])) AS g
+  FROM toks
+),
+db AS (
+  SELECT doc_id, is_target,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {N_BUCKETS} AS bk,
+         count(*)::BIGINT AS c
+  FROM feats GROUP BY 1, 2, 3
+),
+tc AS (SELECT bk, sum(c)::BIGINT AS ct FROM db WHERE is_target GROUP BY bk),
+rc AS (SELECT bk, sum(c)::BIGINT AS cr FROM db GROUP BY bk),
+tot AS (
+  SELECT (SELECT coalesce(sum(ct), 0)::BIGINT FROM tc) AS tt,
+         (SELECT coalesce(sum(cr), 0)::BIGINT FROM rc) AS tr
+),
+scored AS (
+  SELECT db.doc_id,
+         sum(db.c)::BIGINT AS n_feats,
+         round(sum(db.c * (
+             ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tot.tt + {N_BUCKETS}))
+           - ln((rc.cr + 1)::DOUBLE / (tot.tr + {N_BUCKETS})))), 6) AS logw
+  FROM db
+  JOIN rc USING (bk)
+  LEFT JOIN tc USING (bk)
+  CROSS JOIN tot
+  GROUP BY db.doc_id
+)
+SELECT doc_id, n_feats, logw
+FROM scored ORDER BY logw DESC, doc_id ASC LIMIT {TOP_K}
+"""
+
+QUERIES = {"dsir_importance_sample": dsir_importance_sample}
+ORACLES = {"dsir_importance_sample": ORACLE_DSIR}
