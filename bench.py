@@ -152,6 +152,8 @@ HEADLINE = [
     "ngram_novelty",
     "exact_substring_spans",
     "dsir_importance_sample",
+    "bitext_margin_pairs",
+    "cdc_chunk_dedup",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",

@@ -1,0 +1,145 @@
+"""Content-defined chunking dedup (the LBFS/FastCDC family): split
+every document at positions where a W-char windowed fingerprint hits
+``hash % D == 0``, hash each variable-size chunk, and measure how much
+of each document is made of corpus-duplicated chunks. This is the
+storage-layer complement to the token-level dedup family: substrdedup
+localizes duplicated W-gram SPANS, CDC measures what a chunk-store
+(backup dedup, CAS blob store, training-shard delta encoding) would
+actually deduplicate — boundaries move WITH content, so an insertion
+near the head of a shared passage shifts every byte offset yet leaves
+all downstream chunk hashes identical (the whole point of CDC vs
+fixed-size blocks).
+
+This is the clamp-free LBFS boundary rule: a position is a boundary
+iff its window fingerprint divides, independent of every other
+position. The published FastCDC adds min/max chunk-length clamps,
+which make the split SEQUENTIAL (each boundary depends on the
+previous accept) — that variant belongs in an Arrow-batched
+mapInPandas leg; the positional rule keeps the whole operator in
+engine-native expressions with an exact cross-engine oracle, and its
+expected chunk size is the same D.
+
+Plan shape at 100 TB: one explode to O(doc_len) window positions that
+immediately filters to ~1/D boundary rows (the filter sits directly
+on the generate, so nothing corpus-length-sized is ever shuffled),
+one join back to documents keyed on doc_id to cut chunk substrings,
+one groupBy on the chunk hash (uniform md5 keys) for corpus-wide
+counts, and one per-doc rollup. The md5-prefix fingerprint stands in
+for LBFS's Rabin polynomial — same role, engine-parity-exact (the
+cross-engine int idiom shared with dsir.py/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import load_tables
+
+CDC_W = 8   # fingerprint window (chars)
+CDC_D = 16  # divisor: expected chunk size ~= D chars
+
+
+def cdc_chunk_dedup(spark, sf_dir):
+    """(doc_id, n_chunks, dup_chunks, dup_chunk_frac) per document:
+    chunks whose hash occurs >= 2 times corpus-wide count as
+    duplicated."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    # Window end positions (1-based): i in [W, n]; a position is a
+    # boundary iff the window fingerprint divides. Every doc gets a
+    # terminal boundary at n so the tail always forms a chunk.
+    pos = (
+        docs.select("doc_id", "text")
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN length(text) >= {CDC_W}"
+                    f" THEN sequence({CDC_W}, length(text))"
+                    " ELSE CAST(array() AS array<int>) END"
+                )
+            ).alias("i"),
+        )
+        .filter(
+            F.expr(
+                f"conv(substring(md5(substring(text, i - {CDC_W} + 1, {CDC_W})), 1, 8), 16, 10)"
+            ).cast("long")
+            % CDC_D
+            == 0
+        )
+        .select("doc_id", F.col("i").cast("long").alias("b"))
+    )
+    bounds = pos.union(
+        docs.select("doc_id", F.length("text").cast("long").alias("b"))
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("b")
+    chunks = (
+        bounds.withColumn("prev", F.coalesce(F.lag("b").over(w), F.lit(0)))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr("substring(text, cast(prev + 1 AS int), cast(b - prev AS int))")
+            ).alias("h"),
+        )
+    )
+    counts = chunks.groupBy("h").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        chunks.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_frac",
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )
+    # Every doc has >= 1 chunk (the terminal boundary), so the rollup
+    # already covers all documents — no left-join resurrection needed.
+    return per_doc.select("doc_id", "n_chunks", "dup_chunks", "dup_chunk_frac")
+
+
+ORACLE_CDC = f"""
+WITH pos AS (
+  SELECT doc_id, unnest([i for i in range({CDC_W},
+           greatest(length(text), {CDC_W - 1}) + 1)]) AS i
+  FROM documents
+  WHERE length(text) >= {CDC_W}
+),
+hits AS (
+  SELECT p.doc_id, p.i::BIGINT AS b
+  FROM pos p JOIN documents d USING (doc_id)
+  WHERE ('0x' || substr(md5(substr(d.text, p.i - {CDC_W} + 1, {CDC_W})), 1, 8))::BIGINT
+        % {CDC_D} = 0
+),
+bounds AS (
+  SELECT DISTINCT doc_id, b FROM (
+    SELECT doc_id, b FROM hits
+    UNION ALL
+    SELECT doc_id, length(text)::BIGINT AS b FROM documents
+  )
+),
+chunks AS (
+  SELECT bd.doc_id,
+         md5(substr(d.text,
+                    (coalesce(lag(bd.b) OVER (PARTITION BY bd.doc_id ORDER BY bd.b), 0) + 1)::INT,
+                    (bd.b - coalesce(lag(bd.b) OVER (PARTITION BY bd.doc_id ORDER BY bd.b), 0))::INT))
+           AS h
+  FROM bounds bd JOIN documents d USING (doc_id)
+),
+counts AS (SELECT h, count(*) AS cnt FROM chunks GROUP BY h)
+SELECT c.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN ct.cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       round(sum(CASE WHEN ct.cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS dup_chunk_frac
+FROM chunks c JOIN counts ct USING (h)
+GROUP BY c.doc_id
+"""
+
+QUERIES = {"cdc_chunk_dedup": cdc_chunk_dedup}
+ORACLES = {"cdc_chunk_dedup": ORACLE_CDC}
