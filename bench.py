@@ -154,6 +154,7 @@ HEADLINE = [
     "dsir_importance_sample",
     "bitext_margin_pairs",
     "cdc_chunk_dedup",
+    "token_budget_epochs",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",

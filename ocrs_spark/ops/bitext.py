@@ -35,16 +35,23 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import load_tables
-from .similarity import DUCK_BANDED_BUCKETS, _cos_expr, banded_buckets
+from .similarity import _cos_expr, banded_buckets, duck_banded_buckets
 
 MARGIN_K = 4  # neighborhood size for the penalty terms
+# Selective banding: 8 bands x 8 rows = 256 buckets/band (~0.4% random
+# cross-pair candidate rate vs ~25% with the 2-row ANN bands, while a
+# true parallel pair at cos 0.99 misses all 8 bands with p ~ 1e-4).
+# Plane namespace 500 is disjoint from ANN (100) and near-dup (300).
+BX_BANDS = 8
+BX_ROWS = 8
+BX_PLANE_BASE = 500
 
 
 def bitext_margin_pairs(spark, sf_dir):
     """(src_id, tgt_id, cos, margin) for mutual best-margin pairs
     between the even (source) and odd (target) halves."""
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    bb = banded_buckets(emb)
+    bb = banded_buckets(emb, BX_BANDS, BX_ROWS, BX_PLANE_BASE)
     xb = bb.filter(F.col("vec_id") % 2 == 0).withColumnRenamed("vec_id", "src_id")
     yb = bb.filter(F.col("vec_id") % 2 == 1).withColumnRenamed("vec_id", "tgt_id")
     cand = (
@@ -55,6 +62,12 @@ def bitext_margin_pairs(spark, sf_dir):
     x = emb.select(F.col("vec_id").alias("src_id"), F.col("embedding").alias("xe"))
     y = emb.select(F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("ye"))
     # Integer milli-cosine: the one float rounding in the whole chain.
+    # Materialized ONCE — the margin needs this table from four plan
+    # branches (two rank windows, two penalty joins, the final mutual
+    # filter), and without the checkpoint each branch re-runs the
+    # bucketing UDF + cosine chain; at cluster scale this is the
+    # standard persist-the-candidate-scores step of the published
+    # pipeline (the k-NN lists are reused the same way).
     scored = (
         cand.join(x, "src_id")
         .join(y, "tgt_id")
@@ -65,6 +78,7 @@ def bitext_margin_pairs(spark, sf_dir):
             .cast("long")
             .alias("cmi"),
         )
+        .localCheckpoint()
     )
     wf = Window.partitionBy("src_id").orderBy(F.desc("cmi"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("cmi"), F.asc("src_id"))
@@ -111,7 +125,7 @@ def bitext_margin_pairs(spark, sf_dir):
 
 
 ORACLE_BITEXT = f"""
-WITH bb AS ({DUCK_BANDED_BUCKETS}),
+WITH bb AS ({duck_banded_buckets(BX_BANDS, BX_ROWS, BX_PLANE_BASE)}),
 cand AS (
   SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS tgt_id
   FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket

@@ -83,9 +83,14 @@ def cdc_chunk_dedup(spark, sf_dir):
             ).alias("h"),
         )
     )
-    counts = chunks.groupBy("h").agg(F.count("*").alias("cnt"))
+    # Corpus-wide duplication test as ONE window over the hash-keyed
+    # exchange (the substrdedup idiom) — an aggregate-then-self-join
+    # would re-run the whole boundary/substring chain for each side
+    # and shuffle the corpus-scale chunk table twice.
     per_doc = (
-        chunks.join(counts, "h")
+        chunks.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_chunks"),
@@ -131,14 +136,16 @@ chunks AS (
            AS h
   FROM bounds bd JOIN documents d USING (doc_id)
 ),
-counts AS (SELECT h, count(*) AS cnt FROM chunks GROUP BY h)
-SELECT c.doc_id,
+counted AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM chunks
+)
+SELECT doc_id,
        count(*)::BIGINT AS n_chunks,
-       sum(CASE WHEN ct.cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
-       round(sum(CASE WHEN ct.cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
          AS dup_chunk_frac
-FROM chunks c JOIN counts ct USING (h)
-GROUP BY c.doc_id
+FROM counted
+GROUP BY doc_id
 """
 
 QUERIES = {"cdc_chunk_dedup": cdc_chunk_dedup}

@@ -81,23 +81,29 @@ def dsir_importance_sample(spark, sf_dir):
     """Top-K documents by hashed-feature importance weight:
     (doc_id, n_feats, logw)."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    db = _doc_bucket_counts(docs)
+    # Materialized once: the explode+groupBy feature pass feeds both
+    # the bucket-distribution aggregate and the scoring join — without
+    # the checkpoint each branch re-tokenizes the corpus.
+    db = _doc_bucket_counts(docs).localCheckpoint()
 
-    target_counts = (
-        db.filter("is_target")
-        .groupBy("bk")
-        .agg(F.sum("c").cast("long").alias("ct"))
+    # BOTH bucket distributions in ONE aggregation pass (a target
+    # feature is also a raw feature, so the target side is just a
+    # conditional sum over the same groups).
+    counts = db.groupBy("bk").agg(
+        F.sum("c").cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ct"),
     )
-    raw_counts = db.groupBy("bk").agg(F.sum("c").cast("long").alias("cr"))
-    # Grand totals as 1-row frames, broadcast into the scoring join.
-    totals_t = target_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"))
-    totals_r = raw_counts.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("tr"))
+    # Grand totals as a 1-row frame, broadcast into the scoring join.
+    totals = counts.agg(
+        F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("tr"),
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("tt"),
+    )
 
     scored = (
-        db.join(F.broadcast(raw_counts), "bk")
-        .join(F.broadcast(target_counts), "bk", "left")
-        .crossJoin(F.broadcast(totals_t))
-        .crossJoin(F.broadcast(totals_r))
+        db.join(F.broadcast(counts), "bk")
+        .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
             "c",

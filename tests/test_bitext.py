@@ -34,7 +34,11 @@ def test_planted_parallel_pairs_are_mutual_best(spark, monkeypatch):
     out = _mine(spark, monkeypatch, vecs)
     assert (0, 1) in out and (2, 3) in out
     assert out[(0, 1)].cos > 0.99
-    assert out[(0, 1)].margin > 1.0
+    # With the selective 8x8 bands random decoys rarely survive as
+    # candidates, so an isolated true pair's neighborhood is itself and
+    # its margin is exactly 1 — the ratio can only exceed 1 when decoy
+    # candidates dilute the penalty average.
+    assert out[(0, 1)].margin >= 1.0
     # Mutual-best means each side appears at most once.
     srcs = [s for s, _ in out]
     tgts = [t for _, t in out]
@@ -65,8 +69,12 @@ def test_margin_discounts_hub_vectors(spark, monkeypatch):
 
 
 def test_deterministic(spark, monkeypatch):
+    # A clustered corpus (shared direction + moderate noise) keeps all
+    # cross pairs above the banding's collision threshold, so the
+    # candidate set — and therefore the output — is non-empty.
     rng = np.random.default_rng(3)
-    vecs = list(rng.normal(size=(10, 64)))
+    base = rng.normal(size=64)
+    vecs = [base + rng.normal(scale=0.3, size=64) for _ in range(10)]
     df = _emb_df(spark, vecs)
     monkeypatch.setattr(
         bitext, "load_tables", lambda _spark, _sf, *_names: (df,)
