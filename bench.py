@@ -155,6 +155,7 @@ HEADLINE = [
     "bitext_margin_pairs",
     "cdc_chunk_dedup",
     "token_budget_epochs",
+    "epoch_shard_manifests",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",
