@@ -348,3 +348,73 @@ def test_dpp_join_prunes_fact_partitions(spark):
     assert scan_lines and any(
         "dynamicpruning" in ln for ln in scan_lines
     )
+
+
+def test_bitext_candidates_are_hash_joined_never_cross(spark):
+    """The bitext candidate generator must be a (band, bucket)-keyed
+    hash join between the two sides — at corpus scale neither side is
+    broadcastable and a nested-loop/cartesian shape would be the
+    all-pairs cross product the banding exists to avoid. (The pair
+    table materializes via localCheckpoint, so assert on the candidate
+    subplan itself.)"""
+    from pyspark.sql import functions as F
+
+    from ocrs_spark.ops import load_tables
+    from ocrs_spark.ops.bitext import BX_BANDS, BX_PLANE_BASE, BX_ROWS
+    from ocrs_spark.ops.similarity import banded_buckets
+
+    (emb,) = load_tables(spark, SF_DIR, "embeddings")
+    bb = banded_buckets(emb, BX_BANDS, BX_ROWS, BX_PLANE_BASE)
+    xb = bb.filter(F.col("vec_id") % 2 == 0).withColumnRenamed("vec_id", "src_id")
+    yb = bb.filter(F.col("vec_id") % 2 == 1).withColumnRenamed("vec_id", "tgt_id")
+    cand = xb.join(yb, ["band", "bucket"]).select("src_id", "tgt_id").distinct()
+    plan = plan_of(cand)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan  # AQE may broadcast at sf0.001
+    )
+
+
+def test_cdc_boundary_filter_sits_on_the_generate(spark):
+    """CDC's divisor filter must run directly against the exploded
+    window positions — nothing corpus-length-sized may reach an
+    Exchange. In the optimized plan the Filter hugs the Generate with
+    no Exchange between them."""
+    from ocrs_spark.ops.cdc import cdc_chunk_dedup
+
+    plan = plan_of(cdc_chunk_dedup(spark, SF_DIR))
+    gen = plan.find("Generate")
+    assert gen != -1
+    # Walk the operator list: the first Exchange must appear ABOVE
+    # (i.e., earlier in the formatted tree than) the Generate, never
+    # between the Generate and its Filter consumer. Formatted plans
+    # list children after parents, so "no Exchange after the Generate
+    # before the Filter" is the check.
+    after_gen = plan[gen:]
+    first_filter = after_gen.find("Filter")
+    first_exchange = after_gen.find("Exchange")
+    assert first_filter != -1
+    assert first_exchange == -1 or first_filter < first_exchange
+
+
+def test_dsir_scoring_join_broadcasts_the_bucket_model(spark):
+    """DSIR's per-feature scoring join must broadcast the <=1024-row
+    bucket-distribution table into the corpus-side join — the corpus
+    never reshuffles on the bucket key."""
+    from ocrs_spark.ops.dsir import dsir_importance_sample
+
+    plan = plan_of(dsir_importance_sample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # Top-K is TakeOrdered (per-partition heads), never a global sort.
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_budget_corpus_work_is_one_partial_agg(spark):
+    """The waterfilling allocator's only corpus-scale operator is the
+    token-count aggregation — partial (map-side) combine must be in
+    the plan before the exchange."""
+    from ocrs_spark.ops.budget import token_budget_epochs
+
+    plan = plan_of(token_budget_epochs(spark, SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
