@@ -156,6 +156,7 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "token_budget_epochs",
     "epoch_shard_manifests",
+    "graph_sample_two_hop",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",
