@@ -157,6 +157,7 @@ HEADLINE = [
     "token_budget_epochs",
     "epoch_shard_manifests",
     "graph_sample_two_hop",
+    "url_template_stats",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",
