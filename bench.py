@@ -158,6 +158,7 @@ HEADLINE = [
     "epoch_shard_manifests",
     "graph_sample_two_hop",
     "url_template_stats",
+    "char_entropy_gate",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",
