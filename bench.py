@@ -159,6 +159,7 @@ HEADLINE = [
     "graph_sample_two_hop",
     "url_template_stats",
     "char_entropy_gate",
+    "exact_jaccard_join",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",

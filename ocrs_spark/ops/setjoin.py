@@ -1,0 +1,131 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin family,
+Xiao et al. 2008): find EVERY document pair whose distinct-shingle
+Jaccard clears the threshold, with a deterministic completeness
+guarantee — the exactness anchor for the probabilistic MinHash-LSH
+candidate generator (``dedup.ngram_jaccard_pairs``), the same role
+ann_topk_bruteforce plays for the banded-LSH ANN and the exact
+quantiles play for the sketches.
+
+The prefix theorem: order every document's shingles by one global
+total order (document frequency ascending, shingle ascending — rarest
+first, the order that makes prefixes selective) and keep only the
+first |d| - ceil(t*|d|) + 1 of each; any pair with J >= t MUST share
+at least one shingle inside BOTH prefixes. So the candidate join runs
+on the rare prefix shingles only — at threshold 0.5 each bucket holds
+the few documents sharing a rare shingle, never the corpus — and the
+exact Jaccard verify touches candidates only. Completeness is a
+theorem, not a recall curve.
+
+Plan shape: the document-frequency table is a word-count groupBy; the
+per-doc rarest-first rank is a window partitioned by doc_id; the
+candidate join and the verify joins are all hash joins on shingle/doc
+keys. Prefix length arithmetic stays in exact integers
+(ceil(n/2) = floor((n+1)/2), halves exact in doubles) so both engines
+cut identical prefixes."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import load_tables
+from .dedup import _DUCK_SHINGLES, shingles_df
+
+SIM_T = 0.5  # Jaccard threshold (dedup.JACCARD_THRESHOLD's regime)
+
+
+def exact_jaccard_join(spark, sf_dir):
+    """(doc_a, doc_b, jaccard): EVERY pair with distinct-shingle
+    Jaccard >= SIM_T."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    # Materialized once: the distinct-shingle table feeds five plan
+    # branches (frequency table, sizes, prefix cut, both verify sides)
+    # — without the checkpoint each branch re-runs the shingle UDF +
+    # distinct shuffle. At cluster scale this is the standard
+    # land-the-token-table step every set-similarity join paper assumes.
+    toks = shingles_df(docs).distinct().localCheckpoint()
+    dfreq = toks.groupBy("s").agg(F.count("*").cast("long").alias("dfc"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("dfc", "s")
+    pref = (
+        toks.join(dfreq, "s")
+        .withColumn("r", F.row_number().over(w).cast("long"))
+        .join(sizes, "doc_id")
+        # prefix length for t = 1/2: n - ceil(n/2) + 1 = floor(n/2)+1.
+        .filter(
+            F.col("r")
+            <= F.col("n") - F.floor((F.col("n") + 1) / 2).cast("long") + 1
+        )
+        .select("doc_id", "s")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.s") == F.col("tb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("ni"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("ni") / (F.col("sa.n") + F.col("sb.n") - F.col("ni")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= SIM_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_EXACT_JACCARD = f"""
+WITH raw AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+),
+toks AS (SELECT DISTINCT doc_id, s FROM raw),
+dfreq AS (SELECT s, count(*)::BIGINT AS dfc FROM toks GROUP BY s),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+pref AS (
+  SELECT doc_id, s FROM (
+    SELECT t.doc_id, t.s, z.n,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY d.dfc, t.s)
+             AS r
+    FROM toks t JOIN dfreq d USING (s) JOIN sizes z USING (doc_id)
+  ) WHERE r <= n - floor((n + 1) / 2.0)::BIGINT + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, count(*)::BIGINT AS ni
+  FROM cand
+  JOIN toks ta ON ta.doc_id = doc_a
+  JOIN toks tb ON tb.doc_id = doc_b AND ta.s = tb.s
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(ni::DOUBLE / (sa.n + sb.n - ni), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(ni::DOUBLE / (sa.n + sb.n - ni), 4) >= {SIM_T}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES = {"exact_jaccard_join": exact_jaccard_join}
+ORACLES = {"exact_jaccard_join": ORACLE_EXACT_JACCARD}
