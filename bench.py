@@ -160,6 +160,7 @@ HEADLINE = [
     "url_template_stats",
     "char_entropy_gate",
     "exact_jaccard_join",
+    "weighted_sample_docs",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",
