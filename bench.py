@@ -161,6 +161,7 @@ HEADLINE = [
     "char_entropy_gate",
     "exact_jaccard_join",
     "weighted_sample_docs",
+    "gate_agreement_kappa",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",
