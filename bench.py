@@ -162,6 +162,7 @@ HEADLINE = [
     "exact_jaccard_join",
     "weighted_sample_docs",
     "gate_agreement_kappa",
+    "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
     "dpp_pruned_join",

@@ -163,3 +163,28 @@ def image_dhash_pairs(spark, sf_dir):
 
 QUERIES = {"image_dhash_pairs": image_dhash_pairs}
 ORACLES: dict = {}  # decode->resize->hash is not SQL-expressible: rows-only
+
+
+def image_dedup_clusters(spark, sf_dir):
+    """(doc_id, cluster_id, is_canonical): connected components over
+    the verified perceptual-pair graph — the multimodal twin of
+    ``dedupgraph.dedup_clusters``: the pair list says WHICH images
+    near-duplicate each other, the components say which one survives
+    (min doc_id per cluster, the same canonical-pick rule). Reuses the
+    text side's min-label-propagation loop (candidate-pair-sized edge
+    table, a handful of join+groupBy rounds, per-round localCheckpoint)
+    so the scale argument is inherited, not re-made. Like the pair row,
+    the driver check is rows-only (decode->hash is not SQL);
+    tests/test_imagededup.py pins the exact planted cluster set."""
+    from .dedupgraph import connected_components
+
+    pairs = image_dhash_pairs(spark, sf_dir).localCheckpoint()
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+QUERIES["image_dedup_clusters"] = image_dedup_clusters

@@ -102,3 +102,23 @@ def test_pipeline_matches_reference_and_recovers_planted(spark):
     found = {(a, b) for a, b, _ in got}
     assert planted <= found  # every planted near-dup recovered
     assert found - planted == set()  # and nothing else on this corpus
+
+
+def test_image_clusters_are_planted_pairs_with_min_canonical(spark):
+    """Cluster formation over the verified pair graph must produce
+    exactly the planted two-member clusters, canonical = min doc_id —
+    a closed-form ground truth (union-find is overkill on pairs that
+    are already disjoint, which is itself asserted above)."""
+    from ocrs_spark.ops.imagededup import image_dedup_clusters
+
+    rows = image_dedup_clusters(spark, SF).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert by_cluster, "no clusters formed"
+    for cid, members in by_cluster.items():
+        ids = sorted(m.doc_id for m in members)
+        assert ids == [cid, cid + 1]  # planted (5g, 5g+1) pairs
+        assert cid % 5 == 0
+        canon = {m.doc_id: m.is_canonical for m in members}
+        assert canon == {cid: True, cid + 1: False}
