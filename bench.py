@@ -154,6 +154,7 @@ HEADLINE = [
     "dsir_importance_sample",
     "bitext_margin_pairs",
     "cdc_chunk_dedup",
+    "passage_dedup",
     "token_budget_epochs",
     "epoch_shard_manifests",
     "graph_sample_two_hop",
