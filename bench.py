@@ -155,6 +155,7 @@ HEADLINE = [
     "bitext_margin_pairs",
     "cdc_chunk_dedup",
     "passage_dedup",
+    "winnow_fingerprints",
     "token_budget_epochs",
     "epoch_shard_manifests",
     "graph_sample_two_hop",
