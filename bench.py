@@ -156,6 +156,7 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "passage_dedup",
     "winnow_fingerprints",
+    "label_propagation",
     "token_budget_epochs",
     "epoch_shard_manifests",
     "graph_sample_two_hop",
