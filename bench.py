@@ -157,6 +157,7 @@ HEADLINE = [
     "passage_dedup",
     "winnow_fingerprints",
     "label_propagation",
+    "train_logreg_gd",
     "token_budget_epochs",
     "epoch_shard_manifests",
     "graph_sample_two_hop",
