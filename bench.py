@@ -58,6 +58,7 @@ HEADLINE = [
     "caption_alignment_topk",
     "filter_model_auc",
     "filter_model_pr_curve",
+    "filter_model_calibration",
     "cluster_safe_split",
     "host_reputation_rollup",
     "temperature_sample",
@@ -104,6 +105,8 @@ HEADLINE = [
     "warc_main_content",
     "link_graph_edges",
     "pagerank_links",
+    "hits_scores",
+    "link_prediction_ra",
     "iceberg_snapshot_scan",
     "iceberg_time_travel_scan",
     "iceberg_partition_pruned_scan",

@@ -236,12 +236,82 @@ FROM swept CROSS JOIN tot
 """
 
 
+CAL_BIN_WIDTH = 100  # milli-probability units per calibration bin
+
+
+def calibration_bins(scored: DataFrame) -> DataFrame:
+    """Reliability-diagram bins + Brier components for a filter model
+    whose score is a milli-probability (score/1000 = predicted P of
+    the positive class) — the third leg of filter evaluation after
+    AUC (ranking) and PR (operating points): a filter can rank
+    perfectly and still be mis-calibrated, which breaks any pipeline
+    that THRESHOLDS on the probability (quality gates do).
+
+    Per bin (score div 100): n, positives, the exact integer score
+    sum, and the bin's exact integer Brier sum — sum((score -
+    1000*label)^2) in milli^2 units, fold-order exact — plus the
+    derived confidence/accuracy/|gap| ratios rounded once at the end.
+    ECE = sum(n * gap) / N is one trivial reduction over these <=10
+    rows (tests compute it); the corpus pays ONE groupBy, and the
+    whole plan is expression-level aggregation — no window, no
+    Python."""
+    g = scored.groupBy(F.expr(f"score div {CAL_BIN_WIDTH}").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("pos"),
+        F.sum("score").cast("long").alias("score_sum"),
+        F.sum(
+            (F.col("score") - 1000 * F.col("label"))
+            * (F.col("score") - 1000 * F.col("label"))
+        )
+        .cast("long")
+        .alias("brier_micro_sum"),
+    )
+    conf = F.col("score_sum") / (F.col("n") * 1000.0)
+    acc = F.col("pos") / F.col("n")
+    return g.select(
+        "bin",
+        "n",
+        "pos",
+        "score_sum",
+        "brier_micro_sum",
+        F.round(conf, 6).alias("confidence"),
+        F.round(acc, 6).alias("accuracy"),
+        F.round(F.abs(conf - acc), 6).alias("gap"),
+    )
+
+
+def filter_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return calibration_bins(planted_scores(docs))
+
+
+ORACLE_CALIBRATION = f"""
+WITH s AS ({_DUCK_SCORED}),
+g AS (
+  SELECT score // {CAL_BIN_WIDTH} AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS pos,
+         CAST(SUM(score) AS BIGINT) AS score_sum,
+         CAST(SUM((score - 1000 * label) * (score - 1000 * label)) AS BIGINT)
+           AS brier_micro_sum
+  FROM s GROUP BY 1
+)
+SELECT bin, n, pos, score_sum, brier_micro_sum,
+  round(score_sum / (n * 1000.0), 6) AS confidence,
+  round(pos::DOUBLE / n, 6) AS accuracy,
+  round(abs(score_sum / (n * 1000.0) - pos::DOUBLE / n), 6) AS gap
+FROM g
+"""
+
+
 QUERIES = {
     "filter_model_auc": filter_model_auc,
     "filter_model_pr_curve": filter_model_pr_curve,
+    "filter_model_calibration": filter_model_calibration,
 }
 
 ORACLES = {
     "filter_model_auc": ORACLE_AUC,
     "filter_model_pr_curve": ORACLE_PR_CURVE,
+    "filter_model_calibration": ORACLE_CALIBRATION,
 }

@@ -242,14 +242,207 @@ def _oracle_pagerank_sql() -> str:
     return "".join(parts)
 
 
+HITS_ITERATIONS = 4
+# HITS runs on the spam-gated subgraph: a link whose (src+dst) hash
+# lands in the flagged bucket is excluded before endorsement
+# propagation (the deterministic stand-in for "drop edges a spam gate
+# flagged" — running HITS on the raw graph would be vacuous here
+# anyway, because the planted corpus is exactly 2-in/2-out regular and
+# unnormalized HITS on a biregular graph is constant).
+HITS_SPAM_MOD = 3
+
+
+def _hits_edges(spark, sf_dir: str):
+    return _edges(spark, sf_dir).filter(
+        (F.col("src") + F.col("dst")) % HITS_SPAM_MOD != 0
+    )
+
+
+def hits_scores(spark, sf_dir: str):
+    """Kleinberg HITS hubs & authorities over the spam-gated link graph
+    — the crawl-prioritization complement to PageRank (a page that
+    LINKS to many high-authority pages is a good frontier seed even if
+    nothing links to it yet).
+
+    Exact-arithmetic discipline (same as ``pagerank_links``): the
+    scores are left UN-normalized so every value is a plain integer —
+    4 rounds of sum-of-neighbors over a degree<=2 graph stays tiny
+    (<= 4^4), and integer sums are fold-order-independent, so the
+    unrolled-CTE DuckDB oracle matches bit-for-bit. Real deployments
+    normalize per round only to avoid float overflow; with integers
+    and bounded rounds the un-normalized fixpoint direction is
+    identical (normalization is a positive scalar).
+
+    Scale: each half-round is one join (edges x scores, shuffled on
+    the join key — at 100 TB the edge table is bucketed on BOTH src
+    and dst copies so neither half re-shuffles the big side) + one
+    groupBy with map-side partial sums. Scores stay (node, bigint) —
+    O(N) rows, never collected."""
+    edges = _hits_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("node"))
+    )
+    hub = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(HITS_ITERATIONS):
+        a_in = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_in"))
+        )
+        auth = nodes.join(
+            a_in.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node", F.coalesce("a_in", F.lit(0)).cast("long").alias("a")
+        )
+        h_in = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_in"))
+        )
+        hub = nodes.join(
+            h_in.withColumnRenamed("src", "node"), "node", "left"
+        ).select(
+            "node", F.coalesce("h_in", F.lit(0)).cast("long").alias("h")
+        )
+    return hub.join(auth, "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("h").alias("hub_score"),
+        F.col("a").alias("authority_score"),
+    )
+
+
+def _oracle_hits_sql() -> str:
+    """The same 4 un-normalized iterations, unrolled as CTEs. Every
+    SUM is cast to BIGINT — DuckDB's HUGEINT sum degrades to float64
+    through pandas, which would flip the driver's int-vs-float tag."""
+    parts = [
+        f"WITH e0 AS ({_oracle_edges_sql()}), ",
+        f"edges AS (SELECT * FROM e0 WHERE (src + dst) % {HITS_SPAM_MOD} <> 0), ",
+        "nodes AS (SELECT doc_id AS node FROM documents), ",
+        "h0 AS (SELECT node, 1::BIGINT AS h FROM nodes)",
+    ]
+    for i in range(HITS_ITERATIONS):
+        parts.append(
+            f", a{i + 1} AS (SELECT nd.node, CAST(COALESCE(SUM(h.h), 0) AS BIGINT) AS a "
+            f"FROM nodes nd LEFT JOIN edges e ON e.dst = nd.node "
+            f"LEFT JOIN h{i} h ON h.node = e.src GROUP BY nd.node)"
+        )
+        parts.append(
+            f", h{i + 1} AS (SELECT nd.node, CAST(COALESCE(SUM(a.a), 0) AS BIGINT) AS h "
+            f"FROM nodes nd LEFT JOIN edges e ON e.src = nd.node "
+            f"LEFT JOIN a{i + 1} a ON a.node = e.dst GROUP BY nd.node)"
+        )
+    k = HITS_ITERATIONS
+    parts.append(
+        f" SELECT h{k}.node AS doc_id, h{k}.h AS hub_score, a{k}.a AS authority_score "
+        f"FROM h{k} JOIN a{k} ON a{k}.node = h{k}.node"
+    )
+    return "".join(parts)
+
+
+RA_SCALE = 1_000_000  # resource-allocation score in exact micro units
+LINKPRED_HUB_CAP = 64  # drop mega-hub intermediates: a w with deg(w)>cap
+                       # contributes C(deg,2) candidate pairs (quadratic)
+                       # and ~zero RA signal (1/deg); excluding it bounds
+                       # the self-join blow-up at web scale. The planted
+                       # graph's max undirected degree is 4, so the cap
+                       # never binds here — but the oracle mirrors it, so
+                       # the guard is part of the verified semantics.
+
+
+def link_prediction_ra(spark, sf_dir: str):
+    """Resource-allocation link prediction (Zhou/Lu/Zhang 2009) over
+    the undirected link graph: for each non-adjacent pair (u, v),
+    score = sum over common neighbors w of 1/deg(w) — the crawl
+    scheduler's "pages that SHOULD be linked" prior (co-cited pages
+    get crawled/grouped together), and the graph-side cousin of the
+    dedup family's candidate generation.
+
+    Exactness: scores are integer micro-units (1_000_000 DIV deg —
+    integer floor division on both engines), so sums are fold-order
+    exact. Common-neighbor enumeration is the classic one-shuffle
+    wedge join: neighbors(w) self-joined on w with u < v dedup, then
+    one groupBy(u, v). Existing edges are removed with a left-anti
+    join. At 100 TB the wedge join is the triangle-counting shape
+    (``ops/triangles.py``): bucket the adjacency list on w and cap
+    hub degrees (LINKPRED_HUB_CAP) so no single key explodes."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") <= LINKPRED_HUB_CAP)
+        .withColumnRenamed("src", "w")
+    )
+    n1 = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    n2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    scored = (
+        n1.join(n2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(deg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(F.expr(f"{RA_SCALE} div deg")).cast("long").alias("ra_score_micro"),
+        )
+    )
+    existing = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return scored.join(existing, ["u", "v"], "left_anti").select(
+        F.col("u").alias("doc_a"),
+        F.col("v").alias("doc_b"),
+        "common_neighbors",
+        "ra_score_micro",
+    )
+
+
+def _oracle_linkpred_sql() -> str:
+    return f"""
+WITH e0 AS ({_oracle_edges_sql()}),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+  ) WHERE src <> dst
+),
+deg AS (
+  SELECT src AS w, COUNT(*) AS deg FROM und GROUP BY src
+  HAVING COUNT(*) <= {LINKPRED_HUB_CAP}
+),
+scored AS (
+  SELECT n1.dst AS u, n2.dst AS v,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM({RA_SCALE} // d.deg) AS BIGINT) AS ra_score_micro
+  FROM und n1 JOIN und n2 ON n1.src = n2.src AND n1.dst < n2.dst
+  JOIN deg d ON d.w = n1.src
+  GROUP BY n1.dst, n2.dst
+)
+SELECT s.u AS doc_a, s.v AS doc_b, s.common_neighbors, s.ra_score_micro
+FROM scored s LEFT JOIN und ON und.src = s.u AND und.dst = s.v
+WHERE und.src IS NULL
+"""
+
+
 QUERIES = {
     "link_graph_edges": link_graph_edges,
     "pagerank_links": pagerank_links,
     "crawl_depth_bfs": crawl_depth_bfs,
+    "hits_scores": hits_scores,
+    "link_prediction_ra": link_prediction_ra,
 }
 
 ORACLES = {
     "link_graph_edges": _oracle_edges_sql(),
     "pagerank_links": _oracle_pagerank_sql(),
     "crawl_depth_bfs": _oracle_bfs_sql(),
+    "hits_scores": _oracle_hits_sql(),
+    "link_prediction_ra": _oracle_linkpred_sql(),
 }

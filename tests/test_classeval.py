@@ -86,3 +86,50 @@ def test_pr_curve_empty_prediction_bucket(spark):
     assert (row["tp"], row["fp"], row["fn"]) == (0, 0, 1)
     # no predicted positives: precision (and hence F1) undefined, recall 0
     assert row["precision"] is None and row["recall"] == 0.0 and row["f1"] is None
+
+
+def test_calibration_hand_case(spark):
+    from ocrs_spark.ops.classeval import calibration_bins
+
+    # (label, milli-prob score): bins 0, 1, 1, 9
+    out = {
+        r["bin"]: r
+        for r in calibration_bins(
+            _scored(spark, [(0, 50), (1, 150), (0, 150), (1, 950)])
+        ).collect()
+    }
+    assert set(out) == {0, 1, 9}
+    b0, b1, b9 = out[0], out[1], out[9]
+    assert (b0["n"], b0["pos"], b0["score_sum"], b0["brier_micro_sum"]) == (
+        1, 0, 50, 2500,
+    )
+    assert (b0["confidence"], b0["accuracy"], b0["gap"]) == (0.05, 0.0, 0.05)
+    # bin 1: scores 150+150, one positive -> brier (150-1000)^2 + 150^2
+    assert (b1["n"], b1["pos"], b1["score_sum"]) == (2, 1, 300)
+    assert b1["brier_micro_sum"] == 850 * 850 + 150 * 150
+    assert (b1["confidence"], b1["accuracy"], b1["gap"]) == (0.15, 0.5, 0.35)
+    assert (b9["confidence"], b9["accuracy"], b9["gap"]) == (0.95, 1.0, 0.05)
+
+
+def test_calibration_totals_consistent_with_auc_row(spark):
+    """The calibration bins partition the corpus: bin sizes sum to the
+    doc count and bin positives sum to the AUC row's n_pos; derived
+    ECE/Brier land in their legal ranges."""
+    from ocrs_spark.ops.classeval import (
+        filter_model_auc,
+        filter_model_calibration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bins = filter_model_calibration(spark, sf).collect()
+    auc = filter_model_auc(spark, sf).collect()[0]
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r["n"] for r in bins) == n_docs
+    assert sum(r["pos"] for r in bins) == auc["n_pos"]
+    ece = sum(r["n"] * r["gap"] for r in bins) / n_docs
+    brier = sum(r["brier_micro_sum"] for r in bins) / (n_docs * 1_000_000)
+    assert 0.0 <= ece <= 1.0
+    assert 0.0 <= brier <= 1.0
+    # the planted scorer is informative but imperfect: both metrics
+    # must be strictly inside the open interval
+    assert 0.0 < brier < 0.5

@@ -91,3 +91,87 @@ def test_bfs_depths_satisfy_shortest_path_invariants(spark):
     for node, dep in depths.items():
         if dep > 0:
             assert dep - 1 in preds[node]  # a witness predecessor exists
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """Spark HITS == a straight numpy power iteration on the same gated
+    edge list (integer arithmetic, so equality is exact), and the spam
+    gate actually de-regularizes the graph (non-constant scores)."""
+    import numpy as np
+
+    from ocrs_spark.ops.linkgraph import (
+        HITS_ITERATIONS,
+        HITS_SPAM_MOD,
+        hits_scores,
+        link_graph_edges,
+    )
+
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    raw = [(r.src, r.dst) for r in link_graph_edges(spark, SF).collect()]
+    gated = [(s, d) for s, d in raw if (s + d) % HITS_SPAM_MOD != 0]
+    h = np.ones(n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(HITS_ITERATIONS):
+        a = np.zeros(n, dtype=np.int64)
+        for s, d in gated:
+            a[d] += h[s]
+        h = np.zeros(n, dtype=np.int64)
+        for s, d in gated:
+            h[s] += a[d]
+    out = {
+        r.doc_id: (r.hub_score, r.authority_score)
+        for r in hits_scores(spark, SF).collect()
+    }
+    assert len(out) == n
+    assert all(out[i] == (h[i], a[i]) for i in range(n))
+    assert len({v[0] for v in out.values()}) > 1  # hubs differentiated
+    assert len({v[1] for v in out.values()}) > 1  # authorities too
+
+    # Why the gate exists: the raw planted graph is exactly 2-in/2-out
+    # regular, where un-normalized HITS is provably constant — every
+    # iteration multiplies the all-ones vector by the constant row sum.
+    ra = np.zeros(n, dtype=np.int64)
+    for s, d in raw:
+        ra[d] += 1
+    assert len(set(ra.tolist())) == 1
+
+
+def test_link_prediction_ra_exact_and_complete(spark):
+    """Every predicted pair is a real non-adjacent wedge pair with the
+    exact common-neighbor count and integer RA score; every wedge pair
+    in the graph is either adjacent or predicted (completeness)."""
+    import itertools
+    from collections import defaultdict
+
+    from ocrs_spark.ops.linkgraph import (
+        RA_SCALE,
+        link_graph_edges,
+        link_prediction_ra,
+    )
+
+    raw = [(r.src, r.dst) for r in link_graph_edges(spark, SF).collect()]
+    und = set()
+    for s, d in raw:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nbrs = defaultdict(set)
+    for s, d in und:
+        nbrs[s].add(d)
+    pred = {
+        (r.doc_a, r.doc_b): (r.common_neighbors, r.ra_score_micro)
+        for r in link_prediction_ra(spark, SF).collect()
+    }
+    assert pred and all(a < b for a, b in pred)
+    for (a, b), (cn, score) in pred.items():
+        assert (a, b) not in und
+        common = nbrs[a] & nbrs[b]
+        assert len(common) == cn
+        assert score == sum(RA_SCALE // len(nbrs[w]) for w in common)
+    covered = 0
+    for w, ns in nbrs.items():
+        for a, b in itertools.combinations(sorted(ns), 2):
+            if (a, b) not in und:
+                assert (a, b) in pred
+                covered += 1
+    assert covered > 0
