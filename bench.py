@@ -155,6 +155,7 @@ HEADLINE = [
     "ngram_novelty",
     "exact_substring_spans",
     "dsir_importance_sample",
+    "domain_reweight_mw",
     "bitext_margin_pairs",
     "cdc_chunk_dedup",
     "passage_dedup",
