@@ -149,6 +149,7 @@ HEADLINE = [
     "export_shards",
     "anchor_text_index",
     "crawl_frontier",
+    "sitemap_recrawl",
     "stream_incremental_curation",
     "corpus_drift",
     "zipf_token_fit",
