@@ -90,6 +90,7 @@ HEADLINE = [
     "embedding_cosine_pairs",
     "ann_topk_bruteforce",
     "lang_id_markers",
+    "line_lang_segments",
     "quality_score",
     "token_counts",
     "text_profile",
