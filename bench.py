@@ -66,6 +66,7 @@ HEADLINE = [
     "zorder_layout_pruning",
     "funnel_conversion",
     "heavy_hitter_tokens",
+    "countmin_token_freq",
     "extraction_error_rates",
     "fuzzy_entity_match",
     "graph_triangle_count",
