@@ -134,6 +134,7 @@ HEADLINE = [
     "robots_allowed",
     "text_clean",
     "html_metadata",
+    "heading_outline",
     "iceberg_sorted_range_scan",
     "iceberg_metadata_counts",
     "iceberg_upsert_scan",
