@@ -135,6 +135,7 @@ HEADLINE = [
     "text_clean",
     "html_metadata",
     "heading_outline",
+    "html_table_cells",
     "iceberg_sorted_range_scan",
     "iceberg_metadata_counts",
     "iceberg_upsert_scan",
