@@ -136,6 +136,7 @@ HEADLINE = [
     "html_metadata",
     "heading_outline",
     "html_table_cells",
+    "table_markdown",
     "iceberg_sorted_range_scan",
     "iceberg_metadata_counts",
     "iceberg_upsert_scan",
@@ -161,6 +162,7 @@ HEADLINE = [
     "exact_substring_spans",
     "dsir_importance_sample",
     "domain_reweight_mw",
+    "url_parallel_pairs",
     "bitext_margin_pairs",
     "cdc_chunk_dedup",
     "passage_dedup",
@@ -175,6 +177,7 @@ HEADLINE = [
     "exact_jaccard_join",
     "weighted_sample_docs",
     "gate_agreement_kappa",
+    "gate_waterfall",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",

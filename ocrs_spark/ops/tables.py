@@ -129,5 +129,67 @@ FROM grid
 """
 
 
-QUERIES = {"html_table_cells": html_table_cells}
-ORACLES = {"html_table_cells": _oracle_sql()}
+def table_markdown(spark, sf_dir: str):
+    """(doc_id, markdown): the extracted grid linearized to GitHub
+    markdown — the form training corpora actually ingest tables in
+    (header row, ``---`` separator under it, one pipe-row per body
+    row). Reassembly is the real work: the grid comes back from
+    ``html_table_cells`` as unordered (row, col, cell) rows, so the
+    operator must restore both orders with sort-inside-aggregate
+    expressions — ``array_sort(collect_list(struct(...)))`` per row,
+    then again per document — never a global ORDER BY (per-doc arrays
+    are bounded; the plan is two groupBys, both map-side combinable)."""
+    cells = html_table_cells(spark, sf_dir)
+    rows = cells.groupBy("doc_id", "row_idx").agg(
+        F.expr(
+            "concat('| ', array_join(transform("
+            "array_sort(collect_list(struct(col_idx, cell))),"
+            " x -> x.cell), ' | '), ' |')"
+        ).alias("line"),
+        F.max("is_header").alias("is_header"),
+        F.count("*").cast("int").alias("ncols"),
+    )
+    line_out = F.expr(
+        "IF(is_header, concat(line, '\\n', concat('| ', array_join("
+        "transform(sequence(1, ncols), x -> '---'), ' | '), ' |')), line)"
+    )
+    return (
+        rows.select("doc_id", "row_idx", line_out.alias("line_out"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(row_idx, line_out))), x -> x.line_out), '\\n')"
+            ).alias("markdown")
+        )
+    )
+
+
+def _oracle_markdown_sql() -> str:
+    return """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 2 AS BIGINT) AS nr,
+         CAST(doc_id % 2 + 2 AS BIGINT) AS nc
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(
+    list_concat(
+      ['| ' || array_to_string(['h ' || c for c in range(1, nc + 1)], ' | ') || ' |',
+       '| ' || array_to_string(['---' for c in range(1, nc + 1)], ' | ') || ' |'],
+      ['| ' || array_to_string(['v ' || r || ' ' || c for c in range(1, nc + 1)], ' | ') || ' |'
+        for r in range(1, nr + 1)]
+    ), chr(10)) AS markdown
+FROM dims
+"""
+
+
+QUERIES = {
+    "html_table_cells": html_table_cells,
+    "table_markdown": table_markdown,
+}
+ORACLES = {
+    "html_table_cells": _oracle_sql(),
+    "table_markdown": _oracle_markdown_sql(),
+}

@@ -63,3 +63,25 @@ def test_hand_case_attributes_and_mixed_rows(spark):
         (1, 0, "1", False),
         (1, 1, "2", False),
     ]
+
+
+def test_markdown_linearization(spark):
+    from ocrs_spark.ops.tables import table_markdown
+
+    got = {
+        r["doc_id"]: r["markdown"]
+        for r in table_markdown(spark, SF).collect()
+    }
+    for doc_id in (0, 5, 11):
+        nr, nc = doc_id % 3 + 2, doc_id % 2 + 2
+        lines = got[doc_id].split("\n")
+        assert len(lines) == nr + 2  # header + separator + body rows
+        assert lines[0] == "| " + " | ".join(f"h {c}" for c in range(1, nc + 1)) + " |"
+        assert lines[1] == "| " + " | ".join(["---"] * nc) + " |"
+        for r in range(1, nr + 1):
+            assert lines[r + 1] == (
+                "| " + " | ".join(f"v {r} {c}" for c in range(1, nc + 1)) + " |"
+            )
+    # every doc produced a table
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(got) == n
