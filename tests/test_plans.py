@@ -418,3 +418,63 @@ def test_budget_corpus_work_is_one_partial_agg(spark):
 
     plan = plan_of(token_budget_epochs(spark, SF_DIR))
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_gate_waterfall_is_one_scan_no_join(spark):
+    """The waterfall must come from ONE conditional aggregation over
+    one corpus scan: no join anywhere (per-gate rescans would be a 4x
+    scan at 100 TB), partial aggregation proven."""
+    from ocrs_spark.ops.gatewaterfall import gate_waterfall
+
+    plan = plan_of(gate_waterfall(spark, SF_DIR))
+    assert "Join" not in plan
+    # exactly one scan node (formatted plans print each node twice:
+    # once in the tree, once in the detail section)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial" in plan  # map-side combine of the indicator sums
+
+
+def test_countmin_broadcasts_sketch_cells(spark):
+    """Point queries join d tiny sketch-cell tables — every one must
+    broadcast; a shuffled join against 8-row sketch rows would be
+    absurd at scale."""
+    from ocrs_spark.ops.countmin import CM_DEPTH, countmin_token_freq
+
+    plan = plan_of(countmin_token_freq(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= CM_DEPTH
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_no_nested_loop(spark):
+    """The wedge self-join and the anti-join must be hash joins on
+    keys — never a nested-loop/cartesian shape."""
+    from ocrs_spark.ops.linkgraph import link_prediction_ra
+
+    plan = plan_of(link_prediction_ra(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_table_markdown_sorts_inside_aggregates(spark):
+    """Reassembly order comes from array_sort inside the aggregates:
+    the plan must contain NO Sort operator (a global ORDER BY over
+    cell rows would shuffle the whole corpus to restore order) and
+    exactly the two groupBy aggregations."""
+    from ocrs_spark.ops.tables import table_markdown
+
+    plan = plan_of(table_markdown(spark, SF_DIR))
+    import re as _re
+
+    assert not _re.search(r"\bSort\b", plan.replace("SortAggregate", "X"))
+    assert "array_sort" in plan
+
+
+def test_sitemap_recrawl_single_shuffle_per_leg(spark):
+    """Build leg: one groupBy(host). Parse+join leg: one equi-join on
+    url. No window, no cartesian."""
+    from ocrs_spark.ops.sitemaps import sitemap_recrawl
+
+    plan = plan_of(sitemap_recrawl(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
