@@ -178,6 +178,10 @@ HEADLINE = [
     "weighted_sample_docs",
     "gate_agreement_kappa",
     "gate_waterfall",
+    "recrawl_change_rate",
+    "vocab_oov_rate",
+    "ccnet_perplexity_buckets",
+    "compaction_plan",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
