@@ -478,3 +478,58 @@ def test_sitemap_recrawl_single_shuffle_per_leg(spark):
     plan = plan_of(sitemap_recrawl(spark, SF_DIR))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_changerate_is_one_scan_no_join(spark):
+    """Change-rate tiering must be generate + ONE partial-agg groupBy
+    over one scan — no join, no window (the fetch-history explode rides
+    the scan)."""
+    from ocrs_spark.ops.changerate import recrawl_change_rate
+
+    plan = plan_of(recrawl_change_rate(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial" in plan
+
+
+def test_vocab_top_k_is_take_ordered_and_membership_broadcasts(spark):
+    """The frozen vocabulary must compile to TakeOrderedAndProject
+    (per-partition top-K merged on the driver, never a global sort) and
+    the membership join against the VOCAB_K-row side must broadcast."""
+    from ocrs_spark.ops.vocab import vocab_oov_rate
+
+    plan = plan_of(vocab_oov_rate(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ccnet_terciles_avoid_per_language_global_sort(spark):
+    """The tercile machinery must never sort a whole language in one
+    task: no NTILE anywhere (the naive PARTITION BY lang shape), the
+    only doc-scale window is the tie-group row_number partitioned by
+    (lang, nlogp_milli), and the compact histogram offsets join back by
+    broadcast."""
+    from ocrs_spark.ops.ccnet import ccnet_perplexity_buckets
+
+    plan = plan_of(ccnet_perplexity_buckets(spark, SF_DIR))
+    assert "ntile" not in plan.lower().replace("percentile", "")
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(lang#\d+, nlogp_milli#\d+L?,"
+        r" doc_id", plan
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_compaction_plan_windows_per_partition_only(spark):
+    """Offset-range packing must be one scan -> one window partitioned
+    by the table partition key (source) -> one partial-agg groupBy; no
+    join, no unpartitioned window."""
+    from ocrs_spark.ops.compaction import compaction_plan
+
+    plan = plan_of(compaction_plan(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert re.search(r"windowspecdefinition\(source#\d+,", plan)
+    assert "partial" in plan
