@@ -182,6 +182,7 @@ HEADLINE = [
     "vocab_oov_rate",
     "ccnet_perplexity_buckets",
     "compaction_plan",
+    "lsh_band_calibration",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
