@@ -183,6 +183,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "compaction_plan",
     "lsh_band_calibration",
+    "incremental_neardup",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
