@@ -184,6 +184,7 @@ HEADLINE = [
     "compaction_plan",
     "lsh_band_calibration",
     "incremental_neardup",
+    "trending_tokens",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",

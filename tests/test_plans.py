@@ -533,3 +533,15 @@ def test_compaction_plan_windows_per_partition_only(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert re.search(r"windowspecdefinition\(source#\d+,", plan)
     assert "partial" in plan
+
+
+def test_trending_topk_is_take_ordered_one_agg(spark):
+    """Both window counts must come from ONE conditional aggregation
+    (no token-table self-join) and the top-K must compile to
+    TakeOrderedAndProject, never a global sort."""
+    from ocrs_spark.ops.trending import trending_tokens
+
+    plan = plan_of(trending_tokens(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in plan
