@@ -185,6 +185,7 @@ HEADLINE = [
     "lsh_band_calibration",
     "incremental_neardup",
     "trending_tokens",
+    "text_tiling_segments",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",

@@ -545,3 +545,14 @@ def test_trending_topk_is_take_ordered_one_agg(spark):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "partial" in plan
+
+
+def test_texttile_is_pure_projection_zero_shuffle(spark):
+    """Segmentation must ride the scan: no Exchange, no Join, no
+    Window anywhere — one projection chain plus the posexplode."""
+    from ocrs_spark.ops.texttile import text_tiling_segments
+
+    plan = plan_of(text_tiling_segments(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
