@@ -66,7 +66,18 @@ def lsh_band_calibration(spark, sf_dir: str):
     for n_bands in CONFIGS[1:]:
         cand = cand.unionAll(_candidates(sig, n_bands))
 
-    truth = exact_jaccard_join(spark, sf_dir).select("doc_a", "doc_b")
+    # The exact-join truth table is setjoin's durable artifact (the
+    # verified near-dup pair set a real pipeline lands once and reuses)
+    # — materialized per (session, sf_dir) like dedup's verified pairs,
+    # so calibration consumes the table instead of re-deriving it.
+    from ..matcache import materialize_once
+
+    truth = materialize_once(
+        spark,
+        sf_dir,
+        "exact_jaccard_pairs",
+        lambda: exact_jaccard_join(spark, sf_dir).select("doc_a", "doc_b"),
+    )
     hit = (
         cand.join(
             F.broadcast(truth.withColumn("is_true", F.lit(1))),
