@@ -186,6 +186,8 @@ HEADLINE = [
     "incremental_neardup",
     "trending_tokens",
     "text_tiling_segments",
+    "eval_sample_allocation",
+    "canonical_resolution",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
