@@ -556,3 +556,29 @@ def test_texttile_is_pure_projection_zero_shuffle(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_alloc_corpus_work_is_one_partial_agg(spark):
+    """The corpus-scale work must be ONE moment aggregation (partial
+    combine proven); apportionment windows run over the tiny stratum
+    table. No join anywhere."""
+    from ocrs_spark.ops.alloc import eval_sample_allocation
+
+    plan = plan_of(eval_sample_allocation(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "partial" in plan
+
+
+def test_canonical_rounds_are_hash_joins_no_cartesian(spark):
+    """Every doubling round must be a key-equijoin on the pointer —
+    never a nested-loop/cartesian shape — and the per-round
+    localCheckpoint keeps the final plan flat (one round deep, not
+    _rounds() joins stacked)."""
+    from ocrs_spark.ops.canonical import canonical_resolution
+
+    plan = plan_of(canonical_resolution(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # flat plan: the checkpointed round, not a tower of joins
+    assert plan.count("Scan ExistingRDD") <= 2
