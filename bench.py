@@ -188,6 +188,7 @@ HEADLINE = [
     "text_tiling_segments",
     "eval_sample_allocation",
     "canonical_resolution",
+    "posting_compression",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
