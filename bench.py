@@ -189,6 +189,7 @@ HEADLINE = [
     "eval_sample_allocation",
     "canonical_resolution",
     "posting_compression",
+    "trimmed_quality_stats",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
