@@ -190,6 +190,7 @@ HEADLINE = [
     "canonical_resolution",
     "posting_compression",
     "trimmed_quality_stats",
+    "packing_efficiency_sweep",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
