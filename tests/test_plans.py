@@ -582,3 +582,34 @@ def test_canonical_rounds_are_hash_joins_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # flat plan: the checkpointed round, not a tower of joins
     assert plan.count("Scan ExistingRDD") <= 2
+
+
+def test_robust_stats_window_runs_over_histogram_not_docs(spark):
+    """The trim-window rank arithmetic must run over the per-source
+    VALUE HISTOGRAM (post-groupBy), never a per-source sort of raw
+    documents: exactly two physical exchanges (histogram build, window
+    partitioning — the final agg reuses it), a map-side-combined
+    histogram, and the plan's ONLY sort is the window's sort over the
+    3-column histogram, not the document table."""
+    from ocrs_spark.ops.robust import trimmed_quality_stats
+
+    plan = plan_of(trimmed_quality_stats(spark, SF_DIR))
+    assert "Window" in plan
+    assert "partial_count" in plan  # histogram combines map-side
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    sorts = re.findall(r"\(\d+\) Sort\n(Input \[\d+\]:[^\n]*)", plan)
+    assert len(sorts) == 1 and "Input [3]:" in sorts[0]  # histogram rows
+
+
+def test_packsweep_is_one_aggregate_over_the_offset_scan(spark):
+    """After the shared prefix-sum pass (range exchange + pinned
+    mapInPandas, arriving as an ExistingRDD scan), the whole sweep is
+    explode -> ONE map-side-combined aggregate: a single shuffle and
+    no join of any kind."""
+    from ocrs_spark.ops.packing import packing_efficiency_sweep
+
+    plan = plan_of(packing_efficiency_sweep(spark, SF_DIR))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "explode(" in plan and "MapInPandas" in plan
+    assert "partial_sum" in plan  # per-budget flags combine map-side
