@@ -191,6 +191,7 @@ HEADLINE = [
     "posting_compression",
     "trimmed_quality_stats",
     "packing_efficiency_sweep",
+    "percolate_matches",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
