@@ -192,6 +192,7 @@ HEADLINE = [
     "trimmed_quality_stats",
     "packing_efficiency_sweep",
     "percolate_matches",
+    "cusum_changepoint",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
