@@ -193,6 +193,7 @@ HEADLINE = [
     "packing_efficiency_sweep",
     "percolate_matches",
     "cusum_changepoint",
+    "reshard_move_plan",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
