@@ -194,6 +194,7 @@ HEADLINE = [
     "percolate_matches",
     "cusum_changepoint",
     "reshard_move_plan",
+    "audio_wav_features",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
