@@ -195,6 +195,7 @@ HEADLINE = [
     "cusum_changepoint",
     "reshard_move_plan",
     "audio_wav_features",
+    "video_avi_features",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",

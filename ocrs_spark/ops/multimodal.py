@@ -9,10 +9,12 @@ uses. The payloads are synthesized deterministically from (doc_id,
 n_chars) with flat fills and lossless codecs, which keeps every output
 column SQL-computable in closed form for the DuckDB oracle while the
 Spark side exercises genuine format sniffing + decode per payload.
-Uncompressed audio is REAL too — PCM WAV decode + features live in
-``ops/audio.py`` (from-spec RIFF chunk walk). Only PERCEPTUAL
-audio/video codecs stay stubbed (no ffmpeg in the container); frame
-sampling runs over a synthetic per-doc frame count.
+Uncompressed audio and video are REAL too — PCM WAV decode + clip
+features live in ``ops/audio.py`` (from-spec RIFF chunk walk) and
+uncompressed-AVI decode + frame sampling in ``ops/video.py`` (nested
+LIST walk, DIB stride + bottom-up rows). Only PERCEPTUAL codecs stay
+stubbed (no ffmpeg in the container); this module's frame sampling
+runs over a synthetic per-doc frame count.
 """
 
 from __future__ import annotations
