@@ -196,6 +196,7 @@ HEADLINE = [
     "reshard_move_plan",
     "audio_wav_features",
     "video_avi_features",
+    "srt_frame_alignment",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
