@@ -197,6 +197,7 @@ HEADLINE = [
     "audio_wav_features",
     "video_avi_features",
     "srt_frame_alignment",
+    "png_text_metadata",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
