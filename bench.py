@@ -198,6 +198,7 @@ HEADLINE = [
     "video_avi_features",
     "srt_frame_alignment",
     "png_text_metadata",
+    "media_route_meta",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
