@@ -199,6 +199,7 @@ HEADLINE = [
     "srt_frame_alignment",
     "png_text_metadata",
     "media_route_meta",
+    "webdataset_ingest",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
