@@ -200,6 +200,7 @@ HEADLINE = [
     "png_text_metadata",
     "media_route_meta",
     "webdataset_ingest",
+    "gif_decode_meta",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",

@@ -321,7 +321,12 @@ def decode_image(data: bytes) -> np.ndarray:
         from .webp import decode_webp
 
         return decode_webp(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        grey, _delay = decode_gif(data)
+        return grey[:, :, None]
     raise UnsupportedImageError(
         "unsupported image format (RAWI, RLEI, PNG, baseline/progressive "
-        "JPEG, and lossless + lossy WebP supported)"
+        "JPEG, lossless + lossy WebP, and GIF supported)"
     )

@@ -169,5 +169,100 @@ FROM documents
 """
 
 
-QUERIES = {"png_text_metadata": png_text_metadata}
-ORACLES = {"png_text_metadata": ORACLE_PNG_TEXT}
+
+
+def _gif_payload(doc_id: int) -> bytes:
+    import numpy as np
+
+    from ..gif import encode_gif
+
+    w, h = 5 + doc_id % 6, 4
+    img = np.full((h, w), (doc_id * 17) % 256, dtype=np.uint8)
+    return encode_gif(img, delay_cs=doc_id % 100)
+
+
+def _gif_payloads(spark, sf_dir: str):
+    def build():
+        (docs,) = load_tables(spark, sf_dir, "documents")
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [_gif_payload(d) for d in ids]}
+                )
+
+        return docs.select("doc_id").mapInPandas(
+            gen, schema="doc_id bigint, payload binary"
+        )
+
+    return materialize_once(spark, sf_dir, "gif_payloads", build)
+
+
+def gif_decode_meta(spark, sf_dir: str):
+    """(doc_id, width, height, delay_cs, fill, decoded_px) — decoded
+    through the full from-spec LZW path (ocrs_spark/gif.py), flat
+    fills keeping every field rule-computable for the oracle."""
+    payloads = _gif_payloads(spark, sf_dir)
+    cores = int(spark.sparkContext.defaultParallelism)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..gif import decode_gif
+
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                grey, delay = decode_gif(bytes(buf))
+                lo, hi = int(grey.min()), int(grey.max())
+                if lo != hi:
+                    raise ValueError("non-flat GIF frame")
+                out.append(
+                    (
+                        int(doc_id),
+                        grey.shape[1],
+                        grey.shape[0],
+                        delay,
+                        lo,
+                        grey.size,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "delay_cs",
+                    "fill",
+                    "decoded_px",
+                ],
+            )
+
+    return payloads.repartition(cores).mapInPandas(
+        extract,
+        schema=(
+            "doc_id bigint, width int, height int, delay_cs int, "
+            "fill int, decoded_px bigint"
+        ),
+    )
+
+
+ORACLE_GIF = """
+SELECT doc_id,
+       (5 + doc_id % 6)::INT AS width,
+       4::INT AS height,
+       (doc_id % 100)::INT AS delay_cs,
+       ((doc_id * 17) % 256)::INT AS fill,
+       ((5 + doc_id % 6) * 4)::BIGINT AS decoded_px
+FROM documents
+"""
+
+
+QUERIES = {
+    "png_text_metadata": png_text_metadata,
+    "gif_decode_meta": gif_decode_meta,
+}
+ORACLES = {
+    "png_text_metadata": ORACLE_PNG_TEXT,
+    "gif_decode_meta": ORACLE_GIF,
+}
