@@ -201,6 +201,7 @@ HEADLINE = [
     "media_route_meta",
     "webdataset_ingest",
     "gif_decode_meta",
+    "docx_text_extraction",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
