@@ -202,6 +202,7 @@ HEADLINE = [
     "webdataset_ingest",
     "gif_decode_meta",
     "docx_text_extraction",
+    "mbox_ingest",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
