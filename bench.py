@@ -203,6 +203,7 @@ HEADLINE = [
     "gif_decode_meta",
     "docx_text_extraction",
     "mbox_ingest",
+    "data_uri_images",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
