@@ -204,6 +204,7 @@ HEADLINE = [
     "docx_text_extraction",
     "mbox_ingest",
     "data_uri_images",
+    "vocab_coverage_curve",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
