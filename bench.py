@@ -205,6 +205,7 @@ HEADLINE = [
     "mbox_ingest",
     "data_uri_images",
     "vocab_coverage_curve",
+    "template_skeletons",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
