@@ -206,6 +206,7 @@ HEADLINE = [
     "data_uri_images",
     "vocab_coverage_curve",
     "template_skeletons",
+    "stream_media_route",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",

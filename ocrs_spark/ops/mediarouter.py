@@ -141,5 +141,72 @@ FROM documents
 """
 
 
-QUERIES = {"media_route_meta": media_route_meta}
-ORACLES = {"media_route_meta": ORACLE_ROUTER}
+
+
+# (applicationId, sf_dir) -> memory-sink table of a finished stream run.
+_STREAM_DONE: dict = {}
+
+
+def stream_media_route(spark, sf_dir: str):
+    """The SAME router as a Structured Streaming job: the mixed binary
+    column staged to a directory, read with ``readStream`` (file
+    source), routed by the identical mapInPandas extractor, drained
+    into a memory sink with an availableNow trigger — proving the
+    ingestion legs run unchanged under streaming semantics (the
+    incremental shape a continuously-crawled media corpus needs).
+    Same oracle as the batch row: the stream must converge to the
+    batch answer."""
+    import tempfile
+    import uuid
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    name = _STREAM_DONE.get(key)
+    if name is None:
+        name = "media_route_" + uuid.uuid4().hex[:8]
+        base = tempfile.mkdtemp(prefix="ocrs_stream_media_")
+        pay_dir = f"{base}/payloads"
+        _mixed_payloads(spark, sf_dir).write.parquet(pay_dir)
+        stream = (
+            spark.readStream.schema("doc_id bigint, payload binary")
+            .parquet(pay_dir)
+        )
+
+        def extract(batches):
+            for pdf in batches:
+                out = []
+                for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                    out.append((int(doc_id),) + route_media(bytes(buf)))
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "doc_id",
+                        "media_kind",
+                        "width",
+                        "height",
+                        "units",
+                        "duration_ms",
+                        "caption",
+                    ],
+                )
+
+        q = (
+            stream.mapInPandas(extract, schema=ROUTER_SCHEMA)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        _STREAM_DONE[key] = name
+    return spark.table(name)
+
+
+QUERIES = {
+    "media_route_meta": media_route_meta,
+    "stream_media_route": stream_media_route,
+}
+ORACLES = {
+    "media_route_meta": ORACLE_ROUTER,
+    "stream_media_route": ORACLE_ROUTER,
+}

@@ -44,3 +44,15 @@ def test_router_covers_all_kinds_once_each(spark):
         else:
             assert r["duration_ms"] > 0 and r["caption"] == ""
     assert set(kinds) == {"image", "audio", "video"}
+
+
+def test_stream_twin_converges_to_batch(spark):
+    from ocrs_spark.ops.mediarouter import stream_media_route
+
+    batch = {
+        r["doc_id"]: r for r in media_route_meta(spark, SF).collect()
+    }
+    stream = stream_media_route(spark, SF).collect()
+    assert len(stream) == len(batch)
+    for r in stream:
+        assert r.asDict() == batch[r["doc_id"]].asDict()
