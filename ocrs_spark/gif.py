@@ -24,9 +24,13 @@ import struct
 
 import numpy as np
 
+from .codec import UnsupportedImageError
 
-class GifError(ValueError):
-    pass
+
+class GifError(UnsupportedImageError):
+    """Subclasses the dispatcher's error type so corrupt/unsupported
+    GIFs flow through the same quarantine path as every other format
+    (codec.py's decode_image contract)."""
 
 
 def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
