@@ -207,6 +207,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "template_skeletons",
     "stream_media_route",
+    "source_overlap_matrix",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
