@@ -208,6 +208,7 @@ HEADLINE = [
     "template_skeletons",
     "stream_media_route",
     "source_overlap_matrix",
+    "watermark_disorder_stats",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
