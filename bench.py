@@ -209,6 +209,7 @@ HEADLINE = [
     "stream_media_route",
     "source_overlap_matrix",
     "watermark_disorder_stats",
+    "gate_order_plan",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
