@@ -210,6 +210,7 @@ HEADLINE = [
     "source_overlap_matrix",
     "watermark_disorder_stats",
     "gate_order_plan",
+    "join_size_estimate",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",
