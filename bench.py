@@ -211,6 +211,7 @@ HEADLINE = [
     "watermark_disorder_stats",
     "gate_order_plan",
     "join_size_estimate",
+    "gif_animation_meta",
     "image_dedup_clusters",
     "crawl_depth_bfs",
     "span_corruption_samples",

@@ -138,24 +138,46 @@ def encode_gif(img: np.ndarray, delay_cs: int = 0) -> bytes:
     """Greyscale HxW uint8 -> single-frame GIF89a with a 256-entry
     greyscale global color table (index i == intensity i) and a GCE
     carrying ``delay_cs``."""
-    if img.ndim != 2 or img.dtype != np.uint8:
-        raise GifError("encoder takes HxW uint8")
-    h, w = img.shape
+    return encode_gif_animated([img], [delay_cs])
+
+
+def encode_gif_animated(
+    frames: list[np.ndarray], delays_cs: list[int]
+) -> bytes:
+    """Multi-frame GIF89a: NETSCAPE2.0 loop block, then one GCE +
+    image descriptor + LZW stream per frame (all full-canvas,
+    disposal 'none' — the subset the decoder supports)."""
+    if not frames or len(frames) != len(delays_cs):
+        raise GifError("frames/delays mismatch")
+    h, w = frames[0].shape
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
     for i in range(256):
         out += bytes([i, i, i])
-    out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-    out += b"," + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-    out += bytes([8]) + _lzw_encode_uncompressed(8, img.tobytes())
+    if len(frames) > 1:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for img, delay in zip(frames, delays_cs):
+        if img.ndim != 2 or img.dtype != np.uint8 or img.shape != (h, w):
+            raise GifError("encoder takes equal-shape HxW uint8 frames")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"," + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8]) + _lzw_encode_uncompressed(8, img.tobytes())
     out += b";"
     return bytes(out)
 
 
 def decode_gif(data: bytes):
-    """-> (HxW uint8 greyscale-or-palette-mapped-to-grey array,
-    delay_cs). Rejects interlace and local color tables (documented
+    """-> (first frame as HxW uint8 grey array, its delay_cs).
+    Single-frame convenience wrapper over ``decode_gif_frames``."""
+    frames = decode_gif_frames(data)
+    return frames[0][1], frames[0][0]
+
+
+def decode_gif_frames(data: bytes):
+    """-> list of (delay_cs, HxW uint8 grey frame), one per image
+    descriptor, each GCE applying to the NEXT descriptor per the
+    spec. Rejects interlace and local color tables (documented
     subset; the synthesized corpus never emits them)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("not a GIF")
@@ -170,6 +192,7 @@ def decode_gif(data: bytes):
         gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
         pos += 3 * n
     delay_cs = 0
+    frames_out = []
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension
@@ -208,9 +231,12 @@ def decode_gif(data: bytes):
             if gct is None:
                 raise GifError("missing color table")
             grey = gct[idx.ravel(), 0].reshape(h, w)
-            return grey.copy(), delay_cs
+            frames_out.append((delay_cs, grey.copy()))
+            delay_cs = 0  # a GCE scopes only the next descriptor
         elif b == 0x3B:  # trailer
             break
         else:
             raise GifError(f"unexpected GIF block 0x{b:02x}")
-    raise GifError("no image data in GIF")
+    if not frames_out:
+        raise GifError("no image data in GIF")
+    return frames_out

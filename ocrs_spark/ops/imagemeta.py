@@ -258,11 +258,104 @@ FROM documents
 """
 
 
+
+
+def _agif_payload(doc_id: int) -> bytes:
+    import numpy as np
+
+    from ..gif import encode_gif_animated
+
+    k = 2 + doc_id % 5
+    frames = [
+        np.full((3, 4), (doc_id * 23 + f * 11) % 256, dtype=np.uint8)
+        for f in range(k)
+    ]
+    delays = [4 + (f % 3) for f in range(k)]
+    return encode_gif_animated(frames, delays)
+
+
+def _agif_payloads(spark, sf_dir: str):
+    def build():
+        (docs,) = load_tables(spark, sf_dir, "documents")
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                yield pd.DataFrame(
+                    {"doc_id": ids, "payload": [_agif_payload(d) for d in ids]}
+                )
+
+        return docs.select("doc_id").mapInPandas(
+            gen, schema="doc_id bigint, payload binary"
+        )
+
+    return materialize_once(spark, sf_dir, "agif_payloads", build)
+
+
+def gif_animation_meta(spark, sf_dir: str):
+    """(doc_id, n_frames, total_delay_cs, frame_digest) — every frame
+    decoded through the full multi-frame LZW path; the digest folds
+    each frame's measured flat fill with its index, the per-frame GCE
+    delays sum from the parsed stream."""
+    payloads = _agif_payloads(spark, sf_dir)
+    cores = int(spark.sparkContext.defaultParallelism)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..gif import decode_gif_frames
+
+        for pdf in batches:
+            out = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(buf))
+                digest = 0
+                total = 0
+                for f, (delay, img) in enumerate(frames):
+                    lo, hi = int(img.min()), int(img.max())
+                    if lo != hi:
+                        raise ValueError("non-flat GIF frame")
+                    digest += 100 * f + lo
+                    total += delay
+                out.append((int(doc_id), len(frames), total, digest))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "total_delay_cs",
+                    "frame_digest",
+                ],
+            )
+
+    return payloads.repartition(cores).mapInPandas(
+        extract,
+        schema=(
+            "doc_id bigint, n_frames int, total_delay_cs bigint, "
+            "frame_digest bigint"
+        ),
+    )
+
+
+ORACLE_AGIF = """
+WITH fr AS (
+  SELECT doc_id, unnest(range(2 + doc_id % 5)) AS f
+  FROM documents
+)
+SELECT doc_id,
+       count(*)::INT AS n_frames,
+       sum(4 + f % 3)::BIGINT AS total_delay_cs,
+       sum(100 * f + (doc_id * 23 + f * 11) % 256)::BIGINT
+         AS frame_digest
+FROM fr GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "png_text_metadata": png_text_metadata,
     "gif_decode_meta": gif_decode_meta,
+    "gif_animation_meta": gif_animation_meta,
 }
 ORACLES = {
     "png_text_metadata": ORACLE_PNG_TEXT,
     "gif_decode_meta": ORACLE_GIF,
+    "gif_animation_meta": ORACLE_AGIF,
 }

@@ -122,3 +122,17 @@ def test_dispatcher_and_errors():
     buf[_DESC_AT + 9] |= 0x40  # set interlace flag
     with pytest.raises(GifError, match="interlaced"):
         decode_gif(bytes(buf))
+
+
+def test_animated_roundtrip_and_gce_scoping():
+    from ocrs_spark.gif import decode_gif_frames, encode_gif_animated
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (6, 10), np.uint8) for _ in range(4)]
+    delays = [7, 0, 33, 100]
+    out = decode_gif_frames(encode_gif_animated(frames, delays))
+    assert len(out) == 4
+    for (d, f), (ed, ef) in zip(out, zip(delays, frames)):
+        assert d == ed and np.array_equal(f, ef)
+    # a GCE scopes only the next descriptor: delay 0 frame stays 0
+    assert out[1][0] == 0
