@@ -39,7 +39,14 @@ def _rounds() -> int:
     r = 0
     while (1 << r) < CHAIN_LEN:
         r += 1
-    return r + 1  # one extra round proves the fixpoint
+    # ceil(log2(CHAIN_LEN)) rounds reach the fixpoint: after round k
+    # every pointer has advanced min(2^k, chain_dist) hops, and
+    # 2^r >= CHAIN_LEN covers the longest planted chain. The former
+    # extra "prove the fixpoint" round re-ran a full self-join +
+    # checkpoint only to confirm nothing moved — the proof is the
+    # inequality above, and the oracle equality pins it every run
+    # (r6: 25% fewer rounds, one fewer join+materialize pass).
+    return r
 
 
 def canonical_resolution(spark, sf_dir: str):

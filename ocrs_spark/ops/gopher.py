@@ -60,56 +60,83 @@ concat(
 def gopher_quality_signals(spark, sf_dir):
     """Per-doc repetition/quality signals + composite keep flag."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    return quality_signals(docs)
-
-
-def quality_signals(docs):
-    """Signals over any (doc_id, text) DataFrame."""
-    base = docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("nc"),
-        F.col("text"),
-        F.expr(_WS).alias("ws"),
-    )
-
-    n_words = F.size("ws").cast("long")
-    # Substring counts via replace-delta: identical non-overlapping
-    # left-to-right semantics in Spark and DuckDB (regex-free, so no
-    # engine dialect drift).
-    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    n_ellipsis = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
-    ) / 3
-    doc_stats = base.select(
-        "doc_id",
-        "nc",
-        n_words.alias("n_words"),
-        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
-        F.size(F.expr("filter(ws, w -> w rlike '[A-Za-z]')"))
-        .cast("long")
-        .alias("n_alpha"),
-        (n_hash + n_ellipsis).alias("n_sym"),
-    )
-
-    gram_stats = (
-        base.select("doc_id", F.explode(F.expr(_GRAMS)).alias("p"))
-        .groupBy("doc_id", "p.n", "p.g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max(
-                F.when(F.col("n") == 2, F.col("c") * F.length("g"))
-            ).alias("top2_chars"),
-            F.sum(
-                F.when(
-                    (F.col("n") == 3) & (F.col("c") >= 2),
-                    F.col("c") * F.length("g"),
-                ).otherwise(F.lit(0))
-            ).alias("dup3_chars"),
+    # Spread the small parquet scan over the cores before the Arrow
+    # pass (micro-batch callers skip this — their input is already
+    # partitioned by the stream).
+    return quality_signals(
+        docs.select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
         )
     )
 
-    j = doc_stats.join(gram_stats, "doc_id", "left")
+
+def quality_signals(docs):
+    """Signals over any (doc_id, text) DataFrame.
+
+    r6: all raw counters come out of ONE Arrow batch pass (guide §4.2)
+    — n-gram coverage is a collections.Counter per document instead of
+    the former gram-level explode -> groupBy (doc_id, n, gram) ->
+    groupBy doc_id -> join-back chain (two corpus-granularity
+    exchanges plus a join), and the per-word regex runs compiled in C
+    instead of an interpreted rlike lambda per word. Every counter is
+    an exact integer (n_sym's /3 is exact: the delta is divisible by
+    3), so the rounded signals and keep flag are bit-identical to the
+    expression form — the oracle sweep pins it at every SF.
+    """
+    import re
+    from collections import Counter
+
+    alpha_re = re.compile(r"[A-Za-z]")
+
+    def _signal_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "nc": [],
+                "n_words": [],
+                "n_distinct": [],
+                "n_alpha": [],
+                "n_sym": [],
+                "top2_chars": [],
+                "dup3_chars": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = [w for w in text.split(" ") if w != ""]
+                c2 = Counter(zip(ws, ws[1:]))
+                c3 = Counter(zip(ws, ws[1:], ws[2:]))
+                top2 = max(
+                    (c * (len(a) + len(b) + 1) for (a, b), c in c2.items()),
+                    default=None,
+                )
+                dup3 = sum(
+                    c * (len(a) + len(b) + len(g) + 2)
+                    for (a, b, g), c in c3.items()
+                    if c >= 2
+                )
+                out["doc_id"].append(doc_id)
+                out["nc"].append(len(text))
+                out["n_words"].append(len(ws))
+                out["n_distinct"].append(len(set(ws)))
+                out["n_alpha"].append(
+                    sum(1 for w in ws if alpha_re.search(w))
+                )
+                out["n_sym"].append(
+                    float(text.count("#") + text.count("..."))
+                )
+                out["top2_chars"].append(top2)
+                out["dup3_chars"].append(dup3 if c3 else None)
+            yield pd.DataFrame(out)
+
+    j = docs.select("doc_id", "text").mapInPandas(
+        _signal_batches,
+        schema=(
+            "doc_id bigint, nc bigint, n_words bigint, n_distinct bigint,"
+            " n_alpha bigint, n_sym double, top2_chars bigint,"
+            " dup3_chars bigint"
+        ),
+    )
     dup_word_frac = F.round(1 - F.col("n_distinct") / F.col("n_words"), 4)
     alpha_frac = F.round(F.col("n_alpha") / F.col("n_words"), 3)
     sym_ratio = F.round(F.col("n_sym") / F.col("n_words"), 3)

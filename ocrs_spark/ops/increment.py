@@ -85,30 +85,39 @@ def incremental_neardup(spark, sf_dir: str):
     )
     cand = cross.unionAll(within)
 
-    toks = shingles_df(docs).distinct()
-    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    inter = (
+    # r6 verify pass: per-doc sorted shingle arrays + JVM
+    # array_intersect (the setjoin.py idiom) — one doc-keyed aggregate
+    # replaces the cand x toks x toks token-level join chain and both
+    # size joins; each candidate pair now joins two bounded array rows
+    # and counts the intersection in codegen.
+    arrs = (
+        shingles_df(docs)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("arr"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    verified = (
         cand.join(
-            toks.select(F.col("doc_id").alias("ta_doc"), "s"),
+            arrs.select(
+                F.col("doc_id").alias("ta_doc"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("na"),
+            ),
             F.col("doc_id") == F.col("ta_doc"),
         )
         .join(
-            toks.select(
-                F.col("doc_id").alias("tb_doc"), F.col("s").alias("s2")
+            arrs.select(
+                F.col("doc_id").alias("tb_doc"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb"),
             ),
-            (F.col("other_id") == F.col("tb_doc")) & (F.col("s") == F.col("s2")),
+            F.col("other_id") == F.col("tb_doc"),
         )
-        .groupBy("doc_id", "other_id", "src")
-        .agg(F.count("*").cast("long").alias("ni"))
-    )
-    verified = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("sa_doc"), F.col("n").alias("na")),
-            F.col("doc_id") == F.col("sa_doc"),
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("sb_doc"), F.col("n").alias("nb")),
-            F.col("other_id") == F.col("sb_doc"),
+        .withColumn(
+            "ni", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
         )
         # J >= 1/2  <=>  3*ni >= na + nb  — exact integers only
         .filter(3 * F.col("ni") >= F.col("na") + F.col("nb"))

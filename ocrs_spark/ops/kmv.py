@@ -78,26 +78,49 @@ def kmv_crawl_overlap(spark, sf_dir: str):
     """One row: exact distinct-token intersection/union/Jaccard of the
     two crawl samples plus the KMV-within-bound flag."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = _side_tokens(docs, SIDE_A, "a").unionByName(
-        _side_tokens(docs, SIDE_B, "b")
-    )
-    sketches = _kmin(toks, K)
+    # r6: ONE shingle pass + ONE distinct-aggregation for both sides.
+    # The former shape ran shingles_df + distinct per side (two scans,
+    # two corpus-wide exchanges) and then merged two per-side K-row
+    # sketches; but top-K(A ∪ B) == top-K(top-K(A) ∪ top-K(B)), and a
+    # token of A∩B in the global top-K is necessarily in BOTH per-side
+    # top-Ks (A ⊆ A∪B bounds its rank), so the union sketch and its
+    # n_both can be read directly off one (token -> in_a, in_b) table.
+    # Same md5 hash, same (h, tok) tie order, identical estimator
+    # inputs — guide §2.3/§2.4: fewer passes, fewer shuffles.
+    from .dedup import shingles_df
 
-    # Merge the two K-row sketches: union sketch = K smallest of both.
-    both = sketches.groupBy("tok", "h").agg(
-        F.collect_set("side").alias("sides")
-    )
-    union_k = (
-        both.withColumn(
-            "__r", F.row_number().over(Window.orderBy("h", "tok"))
+    merged = (
+        shingles_df(docs.filter(f"({SIDE_A}) OR ({SIDE_B})"))
+        .select(
+            F.col("s").alias("tok"),
+            F.expr(SIDE_A).cast("int").alias("ia"),
+            F.expr(SIDE_B).cast("int").alias("ib"),
         )
+        .groupBy("tok")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("tok"), 1, _HEX_DIGITS), 16, 10)
+            .cast("double")
+            / F.lit(float(16**_HEX_DIGITS)),
+        )
+        .localCheckpoint()
+    )
+    # Union sketch: K globally smallest hashes, salted two-phase.
+    partial = Window.partitionBy("__salt").orderBy("h", "tok")
+    final = Window.orderBy("h", "tok")
+    union_k = (
+        merged.withColumn("__salt", F.pmod(F.xxhash64("tok"), F.lit(SALTS)))
+        .withColumn("__pr", F.row_number().over(partial))
+        .filter(F.col("__pr") <= K)
+        .withColumn("__r", F.row_number().over(final))
         .filter(F.col("__r") <= K)
     )
-    # 2K bounded rows: the single-partition window above is a sketch
+    # K bounded rows: the single-partition window above is a sketch
     # merge, not a data-scale sort.
     stats = union_k.agg(
         F.max("h").alias("kth"),
-        F.sum((F.size("sides") == 2).cast("int")).alias("n_both"),
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("int")).alias("n_both"),
         F.count("*").alias("n_rows"),
     ).first()
     if stats["n_rows"] < K:
@@ -110,30 +133,16 @@ def kmv_crawl_overlap(spark, sf_dir: str):
         jaccard_est = stats["n_both"] / K
     inter_est = jaccard_est * union_est
 
-    from .dedup import shingles_df
-
-    exact = (
-        shingles_df(docs.filter(SIDE_A))
-        .select(F.col("s").alias("tok"))
-        .distinct()
-        .withColumn("in_a", F.lit(1))
-        .join(
-            shingles_df(docs.filter(SIDE_B))
-            .select(F.col("s").alias("tok"))
-            .distinct()
-            .withColumn("in_b", F.lit(1)),
-            "tok",
-            "full_outer",
-        )
-        .agg(
-            F.sum(
-                (F.col("in_a").isNotNull() & F.col("in_b").isNotNull())
-                .cast("int")
-            ).alias("n_inter"),
-            F.count("*").alias("n_union"),
-        )
-        .first()
-    )
+    # Exact intersection/union off the same checkpointed table — the
+    # former full-outer join of two freshly recomputed distinct sets
+    # (two more corpus scans + a join-width exchange) is now one
+    # bounded aggregate.
+    exact = merged.agg(
+        F.sum((F.col("in_a") + F.col("in_b") == 2).cast("int")).alias(
+            "n_inter"
+        ),
+        F.count("*").alias("n_union"),
+    ).first()
     n_inter, n_union = int(exact["n_inter"]), int(exact["n_union"])
     within = (
         abs(inter_est - n_inter) / n_inter < REL_BOUND

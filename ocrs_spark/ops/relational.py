@@ -737,7 +737,13 @@ def q16_supplier_part_counts(spark, sf_dir):
     partsupp analogue), excluding one brand and an anti-joined supplier
     blacklist (low account balance standing in for complaints)."""
     li, part, supp = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # No pre-dedup of (l_partkey, l_suppkey): countDistinct and both
+    # joins (broadcast anti + broadcast inner) are multiplicity
+    # insensitive, so the distinct-pairs exchange the oracle's derived
+    # table spells out is provably redundant — the distinct-aggregate's
+    # own partial pass dedups (brand, size, suppkey) map-side instead.
+    # One full-lineitem shuffle removed (r6: 3 Exchange -> 2).
+    ps = li.select("l_partkey", "l_suppkey")
     bad = supp.filter(F.col("s_acctbal") < 1000).select(
         F.col("s_suppkey").alias("l_suppkey")
     )

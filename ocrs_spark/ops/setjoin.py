@@ -110,24 +110,44 @@ def exact_jaccard_join(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
-    inter = (
-        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
-        .join(
-            toks.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.s") == F.col("tb.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("ni"))
+    # Verify pass (r6): per-doc sorted shingle ARRAYS + JVM
+    # array_intersect instead of the cand x toks x toks token-level
+    # join. The former shape shuffled candidate-pair token rows twice
+    # and re-aggregated them; now the token table is aggregated ONCE to
+    # a doc-keyed array column (map-side combinable), each candidate
+    # pair joins two bounded rows, and the intersection count is one
+    # codegen'd array op — guide §2.3 (shuffle keys/arrays, not
+    # exploded rows). Distinct shingles make |array_intersect| the
+    # exact ni, and the arrays' n replaces the two size joins.
+    arrs = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr"),
+        F.count("*").cast("long").alias("n"),
     )
     return (
-        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("na2"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb2"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "ni", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("ni") / (F.col("sa.n") + F.col("sb.n") - F.col("ni")), 4
+                F.col("ni") / (F.col("na2") + F.col("nb2") - F.col("ni")), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= SIM_T)

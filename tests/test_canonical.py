@@ -48,4 +48,7 @@ def test_fixpoint_and_round_bound(spark):
     assert max(hops) == CHAIN_LEN
     assert min(hops) == 0
     # pointer doubling reaches the max chain within the declared rounds
-    assert (1 << (_rounds() - 1)) >= CHAIN_LEN
+    # (r6: the former extra fixpoint-proof round was dropped; the bound
+    # is exactly 2^rounds >= CHAIN_LEN)
+    assert (1 << _rounds()) >= CHAIN_LEN
+    assert (1 << (_rounds() - 1)) < CHAIN_LEN  # and not one round more
