@@ -35,7 +35,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import load_tables
-from .similarity import _cos_expr, banded_buckets, duck_banded_buckets
+from .similarity import banded_buckets, duck_banded_buckets, seq_cosine_udf
+
+_seq_cos = seq_cosine_udf()
 
 MARGIN_K = 4  # neighborhood size for the penalty terms
 # Selective banding: 8 bands x 8 rows = 256 buckets/band (~0.4% random
@@ -74,7 +76,7 @@ def bitext_margin_pairs(spark, sf_dir):
         .select(
             "src_id",
             "tgt_id",
-            F.round(F.expr(_cos_expr("xe", "ye")) * 1000, 0)
+            F.round(_seq_cos("xe", "ye") * 1000, 0)
             .cast("long")
             .alias("cmi"),
         )

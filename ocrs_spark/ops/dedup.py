@@ -60,7 +60,11 @@ def shingles_df(docs):
     """(doc_id, s) exploded word 3-shingles via one Arrow-batched
     pandas_udf: pure string slicing/joining, byte-identical to the
     expression form (tests assert equality) and ~5x cheaper than the
-    interpreted higher-order transform() it replaces."""
+    interpreted higher-order transform() it replaces. (r6 note: an
+    unconditional spread() here was measured to HURT multi-branch
+    consumers — the extra round-robin exchange defeats subplan reuse
+    across branches — so spreading is applied at single-pass call
+    sites like _minhash_signature_df instead.)"""
     from pyspark.sql.types import ArrayType, StringType
 
     @F.pandas_udf(ArrayType(StringType()))
@@ -100,10 +104,50 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
+def distinct_shingle_arrays(docs):
+    """(doc_id, arr, n): per-document DISTINCT word 3-shingles as one
+    sorted array column (r6). Deduping inside the Arrow pass replaces
+    the corpus-wide ``shingles_df(docs).distinct()`` exchange with a
+    per-row set() — the distinct-token table every set-similarity
+    consumer needs, landed without shuffling token-granularity rows.
+    Sort order is binary-UTF8 == Python's code-point sort for this
+    corpus, matching sort_array/array_sort semantics. Docs with no
+    shingles (<3 tokens) are dropped, exactly as the explode form
+    produced no rows for them."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    from . import spread
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _arrs(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split(" ")
+            n = max(len(toks) - 2, 0)
+            out.append(
+                sorted({" ".join(toks[i : i + 3]) for i in range(n)})
+            )
+        return pd.Series(out)
+
+    return (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", _arrs("text").alias("arr"))
+        .withColumn("n", F.size("arr").cast("long"))
+        .filter(F.col("n") > 0)
+    )
+
+
 def _minhash_signature_df(spark, sf_dir):
-    """(doc_id, s0..s{K-1}) minhash signatures over word 3-shingles."""
+    """(doc_id, s0..s{K-1}) minhash signatures over word 3-shingles.
+
+    r6: the doc scan is spread() first — the K min-md5 partial
+    aggregates (K md5 calls per shingle, the pass's dominant cost) are
+    otherwise fused into the single-row-group scan partition and run
+    on one core (guide §2.5; measured 1.37 s -> 0.95 s at sf0.1)."""
+    from . import spread
+
     (docs,) = load_tables(spark, sf_dir, "documents")
-    sh = shingles_df(docs)
+    sh = shingles_df(spread(docs))
     aggs = [
         F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{k}")))).alias(f"s{k}")
         for k in range(MINHASH_K)
@@ -112,22 +156,27 @@ def _minhash_signature_df(spark, sf_dir):
 
 
 def _bands_df(spark, sf_dir):
+    # r6: ALL bands in one posexplode projection — the former per-band
+    # select + unionAll re-ran the full signature aggregation once per
+    # band whenever exchange reuse didn't kick in; one pass cannot.
     sig = _minhash_signature_df(spark, sf_dir)
     rows_per_band = MINHASH_K // LSH_BANDS
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_index"),
-                F.md5(F.concat(*cols)).alias("band_hash"),
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[
+                        F.col(f"s{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                )
             )
-        )
-    out = bands[0]
-    for df in bands[1:]:
-        out = out.unionAll(df)
-    return out
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_index", "band_hash")
+    )
 
 
 def minhash_lsh_buckets(spark, sf_dir):
@@ -459,13 +508,16 @@ def embedding_near_dup_pairs(emb, threshold: float = COSINE_THRESHOLD):
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    dot = "aggregate(zip_with(ea, eb, (x, y) -> cast(x AS double) * cast(y AS double)), cast(0 AS double), (acc, v) -> acc + v)"
-    na = "sqrt(aggregate(ea, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
-    nb = "sqrt(aggregate(eb, cast(0 AS double), (acc, x) -> acc + cast(x AS double) * cast(x AS double)))"
+    # r6: cosine verify via the cumsum-sequential Arrow kernel — same
+    # fold order as the former interpreted aggregate() lambdas (bitwise
+    # parity pinned in tests), ~10x cheaper per candidate pair.
+    from .similarity import seq_cosine_udf
+
+    seq_cos = seq_cosine_udf()
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
-        .withColumn("cos", F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 3))
+        .withColumn("cos", F.round(seq_cos("ea", "eb"), 3))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )

@@ -41,39 +41,58 @@ TARGET_MIN_HITS = 3  # docs with >= this many 'spark' tokens are the seed
 
 
 def _doc_bucket_counts(docs):
-    """(doc_id, is_target, bk, c): per-document hashed-feature counts."""
-    bigrams = (
-        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1),"
-        " i -> concat(ws[i-1], ' ', ws[i]))"
-        " ELSE CAST(array() AS array<string>) END"
-    )
-    toks = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("ws"),
-    ).select(
-        "doc_id",
-        "ws",
-        (
-            F.size(F.expr("filter(ws, t -> t = 'spark')"))
-            >= TARGET_MIN_HITS
-        ).alias("is_target"),
-    )
-    grams = toks.select(
-        "doc_id",
-        "is_target",
-        F.explode(F.concat(F.col("ws"), F.expr(bigrams))).alias("g"),
-    )
+    """(doc_id, is_target, bk, c): per-document hashed-feature counts.
+
+    r6: ONE Arrow batch pass (guide §4.2) — the per-gram md5 runs
+    through hashlib's C digest and the per-(doc, bucket) counts come
+    out of a collections.Counter, so the former gram-level explode +
+    groupBy (doc_id, is_target, bk) exchange never materializes.
+    Hash inputs are unchanged (md5 hex prefix % N_BUCKETS over the
+    same unigrams + space-joined bigrams, empties included — Python
+    str.split(' ') and Spark split(text, ' ') agree exactly); the
+    oracle sweep pins identity at every SF.
+    """
+    from collections import Counter
+
+    def _bucket_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            out = {"doc_id": [], "is_target": [], "bk": [], "c": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                is_target = (
+                    sum(1 for t in ws if t == "spark") >= TARGET_MIN_HITS
+                )
+                cnt = Counter(
+                    int(md5(g.encode()).hexdigest()[:8], 16) % N_BUCKETS
+                    for g in ws
+                )
+                cnt.update(
+                    int(
+                        md5((a + " " + b).encode()).hexdigest()[:8], 16
+                    )
+                    % N_BUCKETS
+                    for a, b in zip(ws, ws[1:])
+                )
+                for bk, c in cnt.items():
+                    out["doc_id"].append(doc_id)
+                    out["is_target"].append(is_target)
+                    out["bk"].append(bk)
+                    out["c"].append(c)
+            yield pd.DataFrame(out)
+
+    spark = docs.sparkSession
     return (
-        grams.select(
-            "doc_id",
-            "is_target",
-            (
-                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
-                % N_BUCKETS
-            ).alias("bk"),
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            _bucket_batches,
+            schema="doc_id bigint, is_target boolean, bk bigint, c bigint",
         )
-        .groupBy("doc_id", "is_target", "bk")
-        .agg(F.count("*").cast("long").alias("c"))
     )
 
 

@@ -125,28 +125,43 @@ def image_hashes(spark, sf_dir):
 
 
 def dhash_pairs(hashes, hamming_max: int = HAMMING_MAX):
-    """Banded candidate join + JVM-side Hamming verify."""
-    bands = None
-    for b in range(BANDS):
-        part = hashes.select(
-            "doc_id",
-            "dhash",
-            F.lit(b).alias("band"),
-            F.expr(f"(dhash >> {b * BAND_BITS}) & {(1 << BAND_BITS) - 1}").alias(
-                "bv"
-            ),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    """Banded candidate join + JVM-side Hamming verify. r6: all bands
+    come out of ONE posexplode projection — the former per-band select
+    + unionAll re-ran the upstream decode->hash Arrow chain once per
+    band whenever exchange reuse didn't fire."""
+    band_vals = F.array(
+        *[
+            F.expr(f"(dhash >> {b * BAND_BITS}) & {(1 << BAND_BITS) - 1}")
+            for b in range(BANDS)
+        ]
+    )
+    bands = hashes.select(
+        "doc_id", "dhash", F.posexplode(band_vals).alias("band", "bv")
+    )
+    # In-bucket pair explosion instead of a bands self-join (the
+    # embedding_near_dup_pairs idiom): the self-join re-executed the
+    # decode->hash chain on both sides; one groupBy computes the bands
+    # ONCE and per-group fan-out is bounded by bucket occupancy — the
+    # same bound the join had. Sorted structs keep doc_a < doc_b.
     cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bv"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.dhash").alias("ha"),
-            F.col("b.dhash").alias("hb"),
+        bands.groupBy("band", "bv")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "dhash"))).alias(
+                "ms"
+            )
         )
+        .filter(F.size("ms") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> transform("
+                    "slice(ms, i + 2, size(ms)), "
+                    "b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,"
+                    " 'ha', a.dhash, 'hb', b.dhash))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.ha", "p.hb")
         .distinct()
     )
     return (

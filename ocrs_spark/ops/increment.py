@@ -35,22 +35,19 @@ DELTA_MOD = 3  # doc_id % 3 == 0 is the incoming batch
 
 def _bands_from_sig(sig):
     """(doc_id, band_index, band_hash) from a signature frame — the
-    persisted fingerprint-index layout."""
+    persisted fingerprint-index layout. r6: one posexplode projection
+    instead of a per-band select + unionAll (which re-ran the upstream
+    signature subtree once per band when exchange reuse didn't fire)."""
     rows = MINHASH_K // LSH_BANDS
-    parts = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"s{b * rows + r}") for r in range(rows)]
-        parts.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_index"),
-                F.md5(F.concat(*cols)).alias("band_hash"),
-            )
-        )
-    out = parts[0]
-    for df in parts[1:]:
-        out = out.unionAll(df)
-    return out
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"s{b * rows + r}") for r in range(rows)]))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_index", "band_hash")
+    )
 
 
 def incremental_neardup(spark, sf_dir: str):
@@ -58,7 +55,10 @@ def incremental_neardup(spark, sf_dir: str):
     document of the incoming batch."""
     (docs,) = load_tables(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
-    sig = _minhash_signature_df(spark, sf_dir)
+    # r6: land the signature table once — it feeds both the index and
+    # delta band branches, each of which otherwise re-ran the full
+    # shingle + K-min-md5 aggregation.
+    sig = _minhash_signature_df(spark, sf_dir).localCheckpoint()
     index_bands = _bands_from_sig(sig.filter(~is_delta))
     delta_bands = _bands_from_sig(sig.filter(is_delta))
 

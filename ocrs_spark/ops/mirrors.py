@@ -58,7 +58,11 @@ def source_overlap_matrix(spark, sf_dir: str):
     overlap_milli) for every source pair sharing at least one verbatim
     passage; overlap_milli is against the smaller inventory."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    sp = _distinct_source_passages(docs)
+    # r6: land the distinct passage table once — it feeds THREE plan
+    # branches (inventory, both self-join sides); un-checkpointed, the
+    # tokenize + explode + md5 + distinct subtree ran three times (the
+    # setjoin/bitext materialize-the-token-table idiom).
+    sp = _distinct_source_passages(docs).localCheckpoint()
     inv = sp.groupBy("source").agg(
         F.count("*").cast("long").alias("n_passages")
     )

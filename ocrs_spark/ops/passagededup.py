@@ -54,15 +54,28 @@ def passage_dedup_df(docs, text_col: str = "text", id_col: str = "doc_id"):
             " ",
         ).alias("seg_text"),
     )
-    seg_df = segs.groupBy(F.md5("seg_text").alias("h")).agg(
-        F.countDistinct("doc_id").alias("seg_df")
+    # r6: corpus-wide passage document-frequency as TWO stacked windows
+    # over ONE hash-keyed exchange (dense_rank by doc_id, then max —
+    # count(DISTINCT doc_id) isn't a window aggregate, but max(dense_
+    # rank) over the same partition is exactly it). The former
+    # aggregate-then-join-back shape computed the seg explode TWICE
+    # (one per plan branch) and paid a third seg-level exchange for the
+    # join; the final determinism-only orderBy is dropped too (guide
+    # §2.4 — the driver comparator and oracle are order-insensitive).
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("h").orderBy("doc_id")
+    w_all = Window.partitionBy("h")
+    flagged = (
+        segs.withColumn("h", F.md5("seg_text"))
+        .withColumn("dr", F.dense_rank().over(w_rank))
+        .withColumn("seg_df", F.max("dr").over(w_all))
     )
-    joined = segs.join(seg_df, F.md5(segs.seg_text) == seg_df.h)
     kept_struct = F.when(
         F.col("seg_df") < MIN_DF, F.struct("seg_idx", "seg_text")
     )
     return (
-        joined.groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_segments"),
             F.sum((F.col("seg_df") >= MIN_DF).cast("long")).alias("n_dropped"),
@@ -74,7 +87,6 @@ def passage_dedup_df(docs, text_col: str = "text", id_col: str = "doc_id"):
                 " ",
             ).alias("kept_text"),
         )
-        .orderBy("doc_id")
     )
 
 

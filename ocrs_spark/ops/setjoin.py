@@ -29,7 +29,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import load_tables
-from .dedup import _DUCK_SHINGLES, shingles_df
+from .dedup import _DUCK_SHINGLES
 
 SIM_T = 0.5  # Jaccard threshold (dedup.JACCARD_THRESHOLD's regime)
 
@@ -38,19 +38,24 @@ def exact_jaccard_join(spark, sf_dir):
     """(doc_a, doc_b, jaccard): EVERY pair with distinct-shingle
     Jaccard >= SIM_T."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    # Materialized once: the distinct-shingle table feeds five plan
-    # branches (frequency table, sizes, prefix cut, both verify sides)
-    # — without the checkpoint each branch re-runs the shingle UDF +
-    # distinct shuffle. At cluster scale this is the standard
-    # land-the-token-table step every set-similarity join paper assumes.
-    toks = shingles_df(docs).distinct().localCheckpoint()
+    # Materialized once: the per-doc DISTINCT shingle ARRAY table feeds
+    # every plan branch (frequency table, prefix cut, both verify
+    # sides). r6: deduping happens inside the Arrow pass
+    # (distinct_shingle_arrays), so the former corpus-wide
+    # token-granularity DISTINCT exchange is gone, the doc-size column
+    # rides along for free (no sizes groupBy + join), and the
+    # checkpoint lands 1 array row per doc instead of ~n token rows.
+    # At cluster scale this is the standard land-the-token-table step
+    # every set-similarity join paper assumes.
+    from .dedup import distinct_shingle_arrays
+
+    docs_arr = distinct_shingle_arrays(docs).localCheckpoint()
+    toks = docs_arr.select("doc_id", "n", F.explode("arr").alias("s"))
     dfreq = toks.groupBy("s").agg(F.count("*").cast("long").alias("dfc"))
-    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("dfc", "s")
     pref = (
         toks.join(dfreq, "s")
         .withColumn("r", F.row_number().over(w).cast("long"))
-        .join(sizes, "doc_id")
         # prefix length for t = 1/2: n - ceil(n/2) + 1 = floor(n/2)+1.
         .filter(
             F.col("r")
@@ -113,16 +118,12 @@ def exact_jaccard_join(spark, sf_dir):
     # Verify pass (r6): per-doc sorted shingle ARRAYS + JVM
     # array_intersect instead of the cand x toks x toks token-level
     # join. The former shape shuffled candidate-pair token rows twice
-    # and re-aggregated them; now the token table is aggregated ONCE to
-    # a doc-keyed array column (map-side combinable), each candidate
-    # pair joins two bounded rows, and the intersection count is one
-    # codegen'd array op — guide §2.3 (shuffle keys/arrays, not
-    # exploded rows). Distinct shingles make |array_intersect| the
-    # exact ni, and the arrays' n replaces the two size joins.
-    arrs = toks.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("arr"),
-        F.count("*").cast("long").alias("n"),
-    )
+    # and re-aggregated them; now each candidate pair joins two bounded
+    # array rows straight off the checkpointed table and the
+    # intersection count is one codegen'd array op — guide §2.3
+    # (shuffle keys/arrays, not exploded rows). Distinct shingles make
+    # |array_intersect| the exact ni.
+    arrs = docs_arr
     return (
         cand.join(
             arrs.select(

@@ -352,6 +352,34 @@ def _cos_expr(a: str, b: str) -> str:
     return f"({dot}) / (({na}) * ({nb}))"
 
 
+def seq_cosine_udf():
+    """Arrow-batched cosine with EXACTLY ``_cos_expr``'s arithmetic
+    (r6, guide §4.2): ``np.cumsum`` is an elementwise sequential
+    accumulation, so its last prefix sum is bit-identical to the
+    interpreted ``aggregate()`` left fold — the float32 -> float64
+    casts, the (na * nb) product and the final division are replicated
+    operation-for-operation. The boxed per-element lambda evaluation
+    (3 folds x dim per PAIR on the verify paths) was the dominant cost
+    of every cosine consumer; this kernel does the same math at numpy
+    speed. tests/test_ann_quality.py pins bitwise parity against the
+    expression form on the driver tables."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        dots = np.cumsum(ma * mb, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
+    return _cos
+
+
 def _lit_vec(vals) -> str:
     """A collected centroid vector as a SQL double-array literal. repr()
     of a Python float round-trips exactly, and float32 -> float64 is

@@ -62,6 +62,15 @@ def _lateness(events, parts: int = 32):
     b_pre = ordered.sparkSession.sparkContext.broadcast(prefix)
 
     def scan(batches):
+        # r6: vectorized scan (guide §4.2) — lateness of event i is
+        # max(0, prefix_max_exclusive(i) - es(i)); np.maximum.accumulate
+        # gives the inclusive prefix max, shifted one right with the
+        # cross-batch carry seeded from the broadcast partition prefix
+        # (sentinel -2^62 = "no predecessor", clamps to 0 like the
+        # former None branch).
+        import numpy as np
+
+        sentinel = -(2**62)
         run = None
         base_loaded = False
         for pdf in batches:
@@ -70,13 +79,15 @@ def _lateness(events, parts: int = 32):
             if not base_loaded:
                 run = b_pre.value[int(pdf["pid"].iloc[0])]
                 base_loaded = True
-            out = []
-            for es in pdf["es"]:
-                late = 0 if run is None else max(0, run - int(es))
-                out.append(late)
-                run = int(es) if run is None else max(run, int(es))
+            arr = pdf["es"].to_numpy(np.int64)
+            cm = np.maximum.accumulate(arr)
+            carry = sentinel if run is None else run
+            prev = np.concatenate(([carry], cm[:-1]))
+            np.maximum.accumulate(prev, out=prev)
+            late = np.clip(prev - arr, 0, None)
+            run = int(max(carry, cm[-1]))
             yield pd.DataFrame(
-                {"lateness_s": pd.Series(out, dtype="int64")}
+                {"lateness_s": pd.Series(late, dtype="int64")}
             )
 
     return ordered.mapInPandas(scan, schema="lateness_s long")
