@@ -92,12 +92,24 @@ def fuzzy_match(dirty: DataFrame, canon: DataFrame, max_dist: int = MAX_DIST) ->
                 "dirty_key", "dirty_name", "canon_key", "canon_name"
             )
         )
-        .distinct()
     )
+    # r6, two equivalences that move all heavy work off the fat pair
+    # stream: (1) threshold-bounded levenshtein (Spark 3.5+) — banded
+    # O(len * k) instead of the full O(len^2) matrix; -1 above the
+    # threshold makes `>= 0` exactly the former `<= max_dist` filter
+    # with identical kept distances; (2) dedup AFTER the filter — a
+    # deterministic value filter commutes with DISTINCT, so the
+    # exchange dedups the ~hundreds of surviving rows instead of the
+    # millions of blocked candidate pairs (measured 3.5M pairs at
+    # sf0.1, zero of them duplicated before the filter).
     return (
-        cand.withColumn("dist", F.levenshtein("dirty_name", "canon_name").cast("int"))
-        .filter(F.col("dist") <= max_dist)
+        cand.withColumn(
+            "dist",
+            F.levenshtein("dirty_name", "canon_name", max_dist).cast("int"),
+        )
+        .filter(F.col("dist") >= 0)
         .select("dirty_key", "canon_key", "dist")
+        .distinct()
     )
 
 

@@ -94,7 +94,15 @@ def mg_candidates(toks: DataFrame, k: int = K, n: DataFrame | None = None) -> Da
     global undercount bound folded in. ``toks`` is one column ``w``;
     ``n`` is an optional precomputed 1-row (n) total so callers that
     already know the token count don't pay a second corpus scan."""
-    summaries = toks.mapInPandas(_mg_partition(k), schema="w string, c long, d long")
+    # r6: spread the token stream before the sketch pass — the sf
+    # corpora scan as ONE partition (single-row-group parquet), so the
+    # Misra-Gries pass otherwise runs as a single serial Python task
+    # (guide §2.5); on a multi-file table this adds nothing.
+    from . import spread
+
+    summaries = spread(toks).mapInPandas(
+        _mg_partition(k), schema="w string, c long, d long"
+    )
     merged = summaries.groupBy("w").agg(
         F.sum("c").alias("c"), F.sum("d").alias("d")
     )
