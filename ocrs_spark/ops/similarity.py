@@ -377,7 +377,12 @@ def seq_cosine_udf():
         nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
         return pd.Series(dots / (na * nb))
 
-    return _cos
+    # asNondeterministic stops the optimizer cloning the kernel below a
+    # pushed filter (guide §4.4: a filter on a UDF-derived column
+    # otherwise evaluates the UDF twice per row — observed as a third
+    # ArrowEvalPython stage in the near-dup plan). The function is in
+    # fact deterministic; the flag only constrains plan rewrites.
+    return _cos.asNondeterministic()
 
 
 def _lit_vec(vals) -> str:

@@ -244,7 +244,11 @@ def test_embedding_near_dup_buckets_once(spark):
     from ocrs_spark.ops.dedup import embedding_cosine_pairs
 
     plan = plan_of(embedding_cosine_pairs(spark, SF_DIR))
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    # r6: exactly TWO Arrow stages — the bucketing matmul (once; the
+    # in-bucket pair explosion keeps the self-join away) and the
+    # cumsum-sequential cosine verify kernel (once, on candidates
+    # only). Any third stage means a re-cloned subtree regressed.
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
@@ -377,25 +381,17 @@ def test_bitext_candidates_are_hash_joined_never_cross(spark):
 
 
 def test_cdc_boundary_filter_sits_on_the_generate(spark):
-    """CDC's divisor filter must run directly against the exploded
-    window positions — nothing corpus-length-sized may reach an
-    Exchange. In the optimized plan the Filter hugs the Generate with
-    no Exchange between them."""
+    """r6 shape: boundary detection AND chunk hashing run inside ONE
+    Arrow pass, so nothing corpus-length-sized exists in the plan at
+    all — no position Generate, exactly one MapInPandas, and the only
+    exchanges sit above the ~n/D chunk-hash rows it emits (the
+    duplication window + per-doc rollup)."""
     from ocrs_spark.ops.cdc import cdc_chunk_dedup
 
     plan = plan_of(cdc_chunk_dedup(spark, SF_DIR))
-    gen = plan.find("Generate")
-    assert gen != -1
-    # Walk the operator list: the first Exchange must appear ABOVE
-    # (i.e., earlier in the formatted tree than) the Generate, never
-    # between the Generate and its Filter consumer. Formatted plans
-    # list children after parents, so "no Exchange after the Generate
-    # before the Filter" is the check.
-    after_gen = plan[gen:]
-    first_filter = after_gen.find("Filter")
-    first_exchange = after_gen.find("Exchange")
-    assert first_filter != -1
-    assert first_exchange == -1 or first_filter < first_exchange
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Generate" not in plan  # no per-character-position explode
+    assert "BatchEvalPython" not in plan
 
 
 def test_dsir_scoring_join_broadcasts_the_bucket_model(spark):
