@@ -49,6 +49,9 @@ def ccnet_perplexity_buckets(spark, sf_dir: str):
     perplexity terciles. Docs with <2 words carry no bigram evidence
     and are excluded (as in lm_perplexity)."""
     (docs,) = load_tables(spark, sf_dir, "documents")
+    # r6: landed once — the scored table feeds BOTH the histogram
+    # branch and the tie-rank branch; un-checkpointed, the entire
+    # bigram-LM scoring subtree (explode + model join) executed twice.
     scored = (
         lm_perplexity(spark, sf_dir)
         .select(
@@ -57,6 +60,7 @@ def ccnet_perplexity_buckets(spark, sf_dir: str):
             F.round(F.col("avg_logp") * -1000).cast("long").alias("nlogp_milli"),
         )
         .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
     )
 
     # Pass 1: compact per-(lang, score) histogram + cumulative offsets.

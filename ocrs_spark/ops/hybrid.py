@@ -153,8 +153,13 @@ def _rbo_weights(k: int = TOP_K, p: float = RBO_P) -> list:
 def ranking_agreement_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, rbo): truncated RBO@K between BM25 and semantic."""
     w = _rbo_weights()
-    lex = bm25_search(spark, sf_dir).select(
-        "query_id", "doc_id", F.col("rank").alias("r1")
+    # r6: landed once — the lexical top-K feeds BOTH the overlap join
+    # and the all-queries frame; un-checkpointed, the whole BM25
+    # subtree (tokenize + tf/idf joins + rank window) executed twice.
+    lex = (
+        bm25_search(spark, sf_dir)
+        .select("query_id", "doc_id", F.col("rank").alias("r1"))
+        .localCheckpoint()
     )
     sem = semantic_search(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("r2")

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import load_tables
-from .dedup import LSH_BANDS, MINHASH_K, _minhash_signature_df, shingles_df
+from .dedup import LSH_BANDS, MINHASH_K, _minhash_signature_df
 
 DELTA_MOD = 3  # doc_id % 3 == 0 is the incoming batch
 
@@ -86,19 +86,14 @@ def incremental_neardup(spark, sf_dir: str):
     cand = cross.unionAll(within)
 
     # r6 verify pass: per-doc sorted shingle arrays + JVM
-    # array_intersect (the setjoin.py idiom) — one doc-keyed aggregate
-    # replaces the cand x toks x toks token-level join chain and both
-    # size joins; each candidate pair now joins two bounded array rows
-    # and counts the intersection in codegen.
-    arrs = (
-        shingles_df(docs)
-        .distinct()
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("s")).alias("arr"),
-            F.count("*").cast("long").alias("n"),
-        )
-    )
+    # array_intersect (the setjoin.py idiom) — each candidate pair
+    # joins two bounded array rows and counts the intersection in
+    # codegen. The arrays come from the Python-side per-doc dedup
+    # (distinct_shingle_arrays), so no corpus-wide DISTINCT exchange
+    # and no collect_list aggregation exist in this branch at all.
+    from .dedup import distinct_shingle_arrays
+
+    arrs = distinct_shingle_arrays(docs)
     verified = (
         cand.join(
             arrs.select(

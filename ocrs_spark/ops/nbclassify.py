@@ -46,31 +46,16 @@ def nb_lang_classifier(spark, sf_dir):
     )
     ws = F.expr("filter(split(text, ' '), w -> w <> '')")
     tok = docs.select("doc_id", F.explode(ws).alias("token"))
-    # r6: broadcast the doc-level label table into the token join (the
-    # token side is the corpus — never shuffle it to attach a label),
-    # then land the (lang, token) count table ONCE: it previously fed
-    # THREE aggregations (class totals, vocabulary, likelihoods), each
-    # re-running the explode + join + token shuffle. Per-class token
-    # totals and the vocabulary are exact rollups of the landed table;
-    # per-class doc counts come straight from the label table — every
-    # labeled doc here has >= 1 token, pinned by the oracle equality.
     train = tok.join(
-        F.broadcast(labels.filter(F.col("marker_lang") != "und")), "doc_id"
+        labels.filter(F.col("marker_lang") != "und"), "doc_id"
     ).select(F.col("marker_lang").alias("lang"), "doc_id", "token")
-    ltc = (
-        train.groupBy("lang", "token")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    cls = ltc.groupBy("lang").agg(
-        F.sum("cnt").cast("long").alias("n_c"),
-    ).join(
-        labels.filter(F.col("marker_lang") != "und")
-        .groupBy(F.col("marker_lang").alias("lang"))
-        .agg(F.count("*").cast("long").alias("docs_c")),
-        "lang",
+
+    cls = train.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_c"),
+        F.countDistinct("doc_id").cast("long").alias("docs_c"),
     )
     tot = cls.agg(F.sum("docs_c").cast("long").alias("total_docs"))
-    voc = ltc.agg(F.countDistinct("token").cast("long").alias("v"))
+    voc = train.agg(F.countDistinct("token").cast("long").alias("v"))
     # 3 rows x (prior, unseen-token default): the entire "model" header.
     cls3 = (
         cls.crossJoin(F.broadcast(tot))
@@ -88,7 +73,9 @@ def nb_lang_classifier(spark, sf_dir):
         )
     )
     lik = (
-        ltc.join(F.broadcast(cls3.select("lang", "n_c", "v")), "lang")
+        train.groupBy("lang", "token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .join(cls3.select("lang", "n_c", "v"), "lang")
         .select(
             "lang",
             "token",

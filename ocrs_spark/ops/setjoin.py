@@ -53,6 +53,9 @@ def exact_jaccard_join(spark, sf_dir):
     toks = docs_arr.select("doc_id", "n", F.explode("arr").alias("s"))
     dfreq = toks.groupBy("s").agg(F.count("*").cast("long").alias("dfc"))
     w = Window.partitionBy("doc_id").orderBy("dfc", "s")
+    # Landed once (r6): the prefix table feeds BOTH sides of the
+    # candidate self-join; un-checkpointed, the join + rank-window
+    # chain executed twice.
     pref = (
         toks.join(dfreq, "s")
         .withColumn("r", F.row_number().over(w).cast("long"))
@@ -62,6 +65,7 @@ def exact_jaccard_join(spark, sf_dir):
             <= F.col("n") - F.floor((F.col("n") + 1) / 2).cast("long") + 1
         )
         .select("doc_id", "s", "r", "n", "dfc")
+        .localCheckpoint()
     )
     # Candidate generation with PPJoin's two EXACT pruning filters —
     # both are theorems at t=1/2 (J >= 1/2 forces ni >= ceil((na+nb)/3)
