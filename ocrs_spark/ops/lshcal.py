@@ -31,29 +31,49 @@ CONFIGS = (1, 2, 4, 8)  # n_bands; rows_per_band = MINHASH_K / n_bands
 
 def _candidates(sig, n_bands: int):
     """Distinct candidate pairs for one banding split of the signature."""
-    rows = MINHASH_K // n_bands
-    parts = []
-    for b in range(n_bands):
-        cols = [F.col(f"s{b * rows + r}") for r in range(rows)]
-        parts.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_index"),
-                F.md5(F.concat(*cols)).alias("band_hash"),
+    return _all_candidates(sig, (n_bands,))
+
+
+def _all_candidates(sig, configs):
+    """Distinct (n_bands, doc_a, doc_b) for EVERY banding config in one
+    pass (r6): all configs' band hashes come out of a single posexplode
+    projection (1 + 2 + ... bands per doc), pairs form by in-bucket
+    explosion keyed on (n_bands, band_index, band_hash), and ONE
+    distinct dedups all configs — the former per-config
+    build-bands + self-join + distinct ran four aggregation pipelines
+    over the same checkpointed signature. Per-config results are
+    identical: a bucket key carries its config, so no cross-config
+    pairs exist."""
+    entries = []
+    for n_bands in configs:
+        rows = MINHASH_K // n_bands
+        for b in range(n_bands):
+            cols = [F.col(f"s{b * rows + r}") for r in range(rows)]
+            entries.append(
+                F.struct(
+                    F.lit(int(n_bands)).cast("long").alias("n_bands"),
+                    F.lit(b).alias("band_index"),
+                    F.md5(F.concat(*cols)).alias("band_hash"),
+                )
             )
-        )
-    bands = parts[0]
-    for df in parts[1:]:
-        bands = bands.unionAll(df)
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.n_bands", "e.band_index", "e.band_hash")
     return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_index", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        bands.groupBy("n_bands", "band_index", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
         .select(
-            F.lit(n_bands).cast("long").alias("n_bands"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "n_bands",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> transform("
+                    "slice(ids, i + 2, size(ids)), "
+                    "b -> named_struct('doc_a', a, 'doc_b', b))))"
+                )
+            ).alias("p"),
         )
+        .select("n_bands", "p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -62,9 +82,7 @@ def lsh_band_calibration(spark, sf_dir: str):
     """(n_bands, rows_per_band, n_candidates, n_hits, n_true,
     precision_milli, recall_milli) — one row per banding config."""
     sig = _minhash_signature_df(spark, sf_dir).localCheckpoint()
-    cand = _candidates(sig, CONFIGS[0])
-    for n_bands in CONFIGS[1:]:
-        cand = cand.unionAll(_candidates(sig, n_bands))
+    cand = _all_candidates(sig, CONFIGS)
 
     # The exact-join truth table is setjoin's durable artifact (the
     # verified near-dup pair set a real pipeline lands once and reuses)
