@@ -140,19 +140,46 @@ def distinct_shingle_arrays(docs):
 def _minhash_signature_df(spark, sf_dir):
     """(doc_id, s0..s{K-1}) minhash signatures over word 3-shingles.
 
-    r6: the doc scan is spread() first — the K min-md5 partial
-    aggregates (K md5 calls per shingle, the pass's dominant cost) are
-    otherwise fused into the single-row-group scan partition and run
-    on one core (guide §2.5; measured 1.37 s -> 0.95 s at sf0.1)."""
+    r6: the whole signature comes out of ONE Arrow pass (guide §4.2) —
+    hashlib's C md5 over the identical `s + '#k'` strings, min by the
+    same lexicographic hex order F.min used, per-doc distinct shingle
+    sets built in Python (duplicates never change a min). The former
+    shape paid a shingle explode plus a doc-keyed exchange for the
+    K-min groupBy; nothing leaves the row now, and docs with no
+    shingles produce no row exactly as the empty explode did. Pinned
+    bitwise by the oracle sweep and the signature parity test."""
     from . import spread
 
     (docs,) = load_tables(spark, sf_dir, "documents")
-    sh = shingles_df(spread(docs))
-    aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{k}")))).alias(f"s{k}")
-        for k in range(MINHASH_K)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    schema = "doc_id bigint, " + ", ".join(
+        f"s{k} string" for k in range(MINHASH_K)
+    )
+    suffixes = [f"#{k}" for k in range(MINHASH_K)]
+
+    def _sig_batches(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            out: dict = {"doc_id": []}
+            for k in range(MINHASH_K):
+                out[f"s{k}"] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                n = max(len(toks) - 2, 0)
+                sh = {" ".join(toks[i : i + 3]) for i in range(n)}
+                if not sh:
+                    continue
+                out["doc_id"].append(doc_id)
+                for k, suf in enumerate(suffixes):
+                    out[f"s{k}"].append(
+                        min(md5((s + suf).encode()).hexdigest() for s in sh)
+                    )
+            yield pd.DataFrame(out)
+
+    return spread(docs.select("doc_id", "text")).mapInPandas(
+        _sig_batches, schema=schema
+    )
 
 
 def _bands_df(spark, sf_dir):

@@ -57,6 +57,32 @@ def test_distinct_shingle_arrays_matches_exploded_distinct(spark):
     assert got_rows == ref_rows
 
 
+def test_python_minhash_signature_matches_aggregate_form(spark):
+    """hashlib md5 + Python min over per-doc distinct shingles ==
+    the former explode + groupBy(min(md5(concat(s, '#k')))) form,
+    bit for bit, including which docs get a row."""
+    from ocrs_spark.ops.dedup import (
+        MINHASH_K,
+        _minhash_signature_df,
+        shingles_df,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{k}")))).alias(f"s{k}")
+        for k in range(MINHASH_K)
+    ]
+    ref = {
+        r["doc_id"]: tuple(r[f"s{k}"] for k in range(MINHASH_K))
+        for r in shingles_df(docs).groupBy("doc_id").agg(*aggs).collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r[f"s{k}"] for k in range(MINHASH_K))
+        for r in _minhash_signature_df(spark, SF).collect()
+    }
+    assert got == ref
+
+
 def test_posexplode_bands_match_unioned_bands(spark):
     """One posexplode projection == the former per-band select+union
     (dedup._bands_df and increment._bands_from_sig rely on this)."""
