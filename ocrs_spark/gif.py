@@ -82,11 +82,11 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
         if prev is not None and next_code < 4096:
             table.append(prev + entry[:1])
             next_code += 1
-            # GIF's "early change": the encoder switched width after
-            # ADDING its entry for the code we just consumed, so the
-            # decoder — always one entry behind — must grow one count
-            # early, at 2^width - 1, to read the next code correctly.
-            if next_code == (1 << width) - 1 and width < 12:
+            # GIF width growth (giflib/Mozilla/stb convention): the
+            # code space is full once next_code reaches 2^width, so
+            # grow then. (The grow-at-2^width-1 "early change" rule
+            # belongs to TIFF's LZW variant, not GIF.)
+            if next_code == (1 << width) and width < 12:
                 width += 1
         prev = entry
         if len(out) >= n_expected:
@@ -168,21 +168,35 @@ def encode_gif_animated(
 
 
 def decode_gif(data: bytes):
-    """-> (first frame as HxW uint8 grey array, its delay_cs).
-    Single-frame convenience wrapper over ``decode_gif_frames``."""
+    """-> (first frame as uint8 array — HxW grey, or HxWx3 RGB for a
+    color palette — and its delay_cs). Single-frame convenience
+    wrapper over ``decode_gif_frames``."""
     frames = decode_gif_frames(data)
     return frames[0][1], frames[0][0]
 
 
 def decode_gif_frames(data: bytes):
-    """-> list of (delay_cs, HxW uint8 grey frame), one per image
-    descriptor, each GCE applying to the NEXT descriptor per the
-    spec. Rejects interlace and local color tables (documented
-    subset; the synthesized corpus never emits them)."""
+    """-> list of (delay_cs, frame), one per image descriptor, each
+    GCE applying to the NEXT descriptor per the spec. A greyscale
+    palette (r==g==b for every entry — all GIFs this engine writes)
+    decodes to an HxW uint8 grey frame; a color palette expands to
+    HxWx3 RGB, matching the PNG palette path (codec.py). Rejects
+    interlace and local color tables (documented subset; the
+    synthesized corpus never emits them)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("not a GIF")
     if len(data) < 14:
         raise GifError("truncated GIF header")
+    try:
+        return _parse_frames(data)
+    except (IndexError, ValueError, struct.error) as e:
+        # Block/extension walking indexes freely; a truncated or
+        # corrupt stream must surface as GifError so it flows through
+        # decode_image's quarantine path, not crash the task.
+        raise GifError(f"truncated GIF ({e})") from e
+
+
+def _parse_frames(data: bytes):
     w, h = struct.unpack("<HH", data[6:10])
     packed, _bg, _aspect = data[10], data[11], data[12]
     pos = 13
@@ -230,8 +244,15 @@ def decode_gif_frames(data: bytes):
             ).reshape(h, w)
             if gct is None:
                 raise GifError("missing color table")
-            grey = gct[idx.ravel(), 0].reshape(h, w)
-            frames_out.append((delay_cs, grey.copy()))
+            if idx.max(initial=0) >= gct.shape[0]:
+                raise GifError("palette index out of range")
+            if np.array_equal(gct[:, 0], gct[:, 1]) and np.array_equal(
+                gct[:, 0], gct[:, 2]
+            ):
+                frame = gct[idx.ravel(), 0].reshape(h, w)
+            else:
+                frame = gct[idx.ravel()].reshape(h, w, 3)
+            frames_out.append((delay_cs, frame.copy()))
             delay_cs = 0  # a GCE scopes only the next descriptor
         elif b == 0x3B:  # trailer
             break

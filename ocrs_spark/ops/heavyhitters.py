@@ -127,8 +127,19 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str, k: int = K) -> DataFra
     stream exists exactly twice (sketch pass, exact pass), the
     two-pass minimum the algorithm itself requires."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("w"))
-    n = docs.agg(F.sum(F.size(F.expr(_TOKENS))).cast("long").alias("n"))
+    # r6: split each text exactly once. The token arrays are spread
+    # (the sf corpora scan as ONE parquet partition) and checkpointed,
+    # so BOTH passes explode from parallel materialized rows — without
+    # this the exact pass's partial aggregation ran as a single serial
+    # task and the split expression evaluated three times (sketch,
+    # exact, token total).
+    from . import spread
+
+    arrays = spread(docs.select(F.expr(_TOKENS).alias("ws"))).localCheckpoint(
+        eager=True
+    )
+    toks = arrays.select(F.explode("ws").alias("w"))
+    n = arrays.agg(F.sum(F.size("ws")).cast("long").alias("n"))
     cand = mg_candidates(toks, k, n)
     return (
         toks.join(F.broadcast(cand.select("w")), "w", "left_semi")

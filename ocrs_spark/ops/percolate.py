@@ -30,14 +30,26 @@ from . import load_tables
 N_QUERIES = 20  # stored queries; 2 terms each
 
 
-def _doc_distinct_tokens(docs):
+def _doc_token_arrays(docs):
     # Conjunctive matching is per distinct term: dedup tokens per doc
-    # BEFORE the join so a repeated term can't double-count.
+    # BEFORE the join so a repeated term can't double-count. Kept as
+    # doc-granular ARRAYS (not exploded) so the caller can checkpoint
+    # one compact row per doc and explode twice for free.
     return docs.select(
         "doc_id",
-        F.explode_outer(
-            F.array_distinct(F.expr("filter(split(text, ' '), w -> w <> '')"))
-        ).alias("token"),
+        F.array_distinct(F.expr("filter(split(text, ' '), w -> w <> '')")).alias(
+            "toks"
+        ),
+    )
+
+
+def _doc_distinct_tokens(docs):
+    return _explode_tokens(_doc_token_arrays(docs))
+
+
+def _explode_tokens(arrays):
+    return arrays.select(
+        "doc_id", F.explode_outer("toks").alias("token")
     ).where(F.col("token").isNotNull())
 
 
@@ -49,10 +61,12 @@ def _query_registry(docs):
     corpus — the same bounded-model shape as the IVF centroids), so
     the corpus-scale df aggregate runs exactly once however many
     branches consume the registry."""
-    spark = docs.sparkSession
+    return _registry_from_tokens(docs.sparkSession, _doc_distinct_tokens(docs))
+
+
+def _registry_from_tokens(spark, toks):
     top = (
-        _doc_distinct_tokens(docs)
-        .groupBy("token")
+        toks.groupBy("token")
         .agg(F.count("*").cast("long").alias("df"))
         .orderBy(F.col("df").desc(), F.col("token").asc())
         .limit(2 * N_QUERIES)
@@ -75,8 +89,13 @@ def percolate_matches(spark, sf_dir: str):
     query — the alerting digest a standing-query system emits per
     ingest batch."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    registry = _query_registry(docs)
-    toks = _doc_distinct_tokens(docs)
+    # The tokenize+dedup pass feeds TWO jobs — the registry collect and
+    # the match join — which exchange reuse can never span. Checkpoint
+    # the doc-granular token arrays once; both consumers explode from
+    # the materialized rows (guide §5).
+    arrays = _doc_token_arrays(docs).localCheckpoint(eager=True)
+    toks = _explode_tokens(arrays)
+    registry = _registry_from_tokens(spark, toks)
     hits = toks.join(F.broadcast(registry), "token")
     per_doc_q = hits.groupBy("doc_id", "qid").agg(
         F.count("*").cast("long").alias("n_terms_hit")

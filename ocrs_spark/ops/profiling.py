@@ -81,11 +81,14 @@ def _metric_exprs(col: str, metrics) -> list:
     return out
 
 
-def data_profile(spark, sf_dir):
+def data_profile(spark, sf_dir, spec=None):
     """(table, column, metric, value) long-format profile of the spec'd
-    tables — one single-pass aggregate per table, unpivoted."""
+    tables — one single-pass aggregate per table, unpivoted. ``spec``
+    (default PROFILE_SPEC) lets a caller that only consumes a subset of
+    metrics skip the rest — Catalyst can't prune individual aggregate
+    expressions feeding a stack()."""
     frames = []
-    for table, cols in PROFILE_SPEC.items():
+    for table, cols in (spec or PROFILE_SPEC).items():
         (df,) = load_tables(spark, sf_dir, table)
         exprs = []
         for col, metrics in cols.items():
@@ -114,7 +117,17 @@ def data_profile(spark, sf_dir):
 def data_quality_checks(spark, sf_dir):
     """(check, tbl, col, metric, actual, passed): rule verdicts derived
     from the profile. distinct_ratio = distinct / count."""
-    prof = data_profile(spark, sf_dir)
+    # Profile only the (table, column, metric) cells CHECKS consumes:
+    # the spec join drops every other profile row anyway, but Catalyst
+    # cannot prune aggregate expressions behind the stack()/pivot, so
+    # the full profile would still pay e.g. countDistinct over the
+    # entire text column for a check that only reads its null count.
+    needed: dict[str, dict[str, tuple]] = {}
+    for _name, table, col, metric, _op, _bound in CHECKS:
+        metrics = ("count", "distinct") if metric == "distinct_ratio" else (metric,)
+        cur = needed.setdefault(table, {}).setdefault(col, ())
+        needed[table][col] = cur + tuple(m for m in metrics if m not in cur)
+    prof = data_profile(spark, sf_dir, spec=needed)
     piv = (
         prof.groupBy("table", "column")
         .pivot("metric", ["count", "nulls", "distinct", "min", "max"])

@@ -76,7 +76,12 @@ def semantic_dedup(spark, sf_dir):
     assigned = ivf_assignments(
         aug.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding"),
         centroids,
-    )
+    # The assignment projection (K interpreted cosine folds per row) feeds
+    # BOTH the per-cluster dedup branch and the final kept-join, keyed
+    # differently — no exchange reuse applies, so without this the most
+    # expensive pass in the query runs twice (guide §5: cut lineage when
+    # a subtree is consumed by differently-keyed branches).
+    ).localCheckpoint(eager=True)
     dropped = assigned.groupBy("centroid_id").applyInPandas(
         lambda _, pdf: _cluster_dropped(pdf), "vec_id long"
     )

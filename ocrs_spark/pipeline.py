@@ -232,6 +232,16 @@ def _parse_byte_size(value: str) -> int | None:
     return int(m.group(1)) * _BYTE_SUFFIXES[m.group(2)]
 
 
+# Broadcast decisions memoized per (application, analyzed-plan semantic
+# hash, threshold): one size aggregate per distinct media table/snapshot
+# per session instead of one per pipeline invocation. Values are single
+# booleans (bounded); a snapshot change produces a different analyzed
+# plan, hence a fresh entry. This caches a PLANNING decision, never
+# query results.
+_BROADCAST_DECISION_CACHE: dict[tuple, bool] = {}
+_BROADCAST_AGGS_RUN = 0  # instrumentation for the plan test
+
+
 def _media_fits_broadcast(media: DataFrame) -> bool:
     """Decide the fan-out strategy with one narrow aggregate over the
     payload column. Catalyst's own size estimate is unusable here
@@ -248,12 +258,24 @@ def _media_fits_broadcast(media: DataFrame) -> bool:
         thresh = 10 * 1024 * 1024
     if thresh <= 0:
         return False
+    key = (
+        spark.sparkContext.applicationId,
+        media._jdf.queryExecution().analyzed().semanticHash(),
+        thresh,
+    )
+    cached = _BROADCAST_DECISION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    global _BROADCAST_AGGS_RUN
+    _BROADCAST_AGGS_RUN += 1
     row = media.agg(
         F.coalesce(F.sum(F.octet_length("bytes")), F.lit(0)).alias("b"),
         F.count("*").alias("n"),
     ).collect()[0]
     overhead = 64  # hashed-relation per-row key/pointer overhead
-    return int(row.b) + overhead * int(row.n) <= thresh
+    fits = int(row.b) + overhead * int(row.n) <= thresh
+    _BROADCAST_DECISION_CACHE[key] = fits
+    return fits
 
 
 def ocr_image_spans(

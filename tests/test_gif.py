@@ -34,8 +34,10 @@ def _lzw_compress(min_code_size: int, pixels: bytes) -> bytes:
         out_codes.append((table[cur], width))
         table[nxt] = next_code
         next_code += 1
-        if next_code - 1 == (1 << width) - 1 and width < 12:
-            # GIF: width grows when next_code EXCEEDS the width
+        # giflib convention: width for the NEXT code grows when the
+        # pre-insert next_code (== post-insert next_code - 1) has
+        # reached 2^width, i.e. one entry AFTER the 2^width slot fills.
+        if next_code - 1 == (1 << width) and width < 12:
             width += 1
         if next_code == 4096:
             out_codes.append((clear, width))
@@ -136,3 +138,44 @@ def test_animated_roundtrip_and_gce_scoping():
         assert d == ed and np.array_equal(f, ef)
     # a GCE scopes only the next descriptor: delay 0 frame stays 0
     assert out[1][0] == 0
+
+
+def test_frozen_width_growth_fixture():
+    """A committed GIF whose LZW dictionary crosses the 512 and 1024
+    code-width boundaries, frozen as bytes so the decoder and the
+    in-test reference compressor cannot drift together: the stream
+    follows the giflib/Mozilla width convention (grow when next_code
+    reaches 2^width), which the early-change (TIFF) rule desyncs on."""
+    import os
+
+    here = os.path.dirname(__file__)
+    data = open(os.path.join(here, "fixtures", "width_growth.gif"), "rb").read()
+    expected = np.load(os.path.join(here, "fixtures", "width_growth_pixels.npy"))
+    out, _ = decode_gif(data)
+    assert np.array_equal(out, expected)
+
+
+def test_color_palette_expands_rgb():
+    """A non-greyscale palette decodes to HxWx3 RGB (matching the PNG
+    palette path) instead of silently returning the red channel."""
+    img = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    buf = bytearray(encode_gif(img))
+    # Patch the 256-entry GCT (offset 13) to a color palette.
+    for i in range(256):
+        buf[13 + 3 * i : 13 + 3 * i + 3] = bytes([i, 255 - i, (i * 3) & 0xFF])
+    out, _ = decode_gif(bytes(buf))
+    assert out.shape == (4, 5, 3)
+    flat = img.ravel()
+    assert np.array_equal(out.reshape(-1, 3)[:, 0], flat)
+    assert np.array_equal(out.reshape(-1, 3)[:, 1], 255 - flat)
+    assert np.array_equal(out.reshape(-1, 3)[:, 2], (flat * 3) & 0xFF)
+
+
+def test_truncated_gif_raises_giferror():
+    """Truncation anywhere in the block walk must surface as GifError
+    (the quarantine contract), never IndexError/struct.error."""
+    img = np.full((8, 8), 70, np.uint8)
+    full = encode_gif(img)
+    for cut in (_DESC_AT + 5, _DESC_AT + 12, len(full) - 6, 14):
+        with pytest.raises(GifError):
+            decode_gif(full[:cut])

@@ -243,3 +243,55 @@ def test_kmv_merged_sketch_equals_per_side_merge(spark):
         ref["n_both"],
         ref["n_rows"],
     )
+
+
+def test_broadcast_decision_memoized(spark):
+    """One size aggregate per distinct media table per session: the
+    second _media_fits_broadcast call on a semantically identical plan
+    must hit the cache; a different table must not."""
+    from ocrs_spark import pipeline as P
+
+    media = spark.createDataFrame(
+        [("m1", bytearray(b"xx"))], "media_ref string, bytes binary"
+    )
+    P._BROADCAST_DECISION_CACHE.clear()
+    before = P._BROADCAST_AGGS_RUN
+    first = P._media_fits_broadcast(media.select("media_ref", "bytes"))
+    second = P._media_fits_broadcast(media.select("media_ref", "bytes"))
+    assert first is True and second is True
+    assert P._BROADCAST_AGGS_RUN == before + 1, "second call re-aggregated"
+    other = spark.createDataFrame(
+        [("m2", bytearray(b"yyyy"))], "media_ref string, bytes binary"
+    )
+    assert P._media_fits_broadcast(other) is True
+    assert P._BROADCAST_AGGS_RUN == before + 2, "distinct table must re-measure"
+
+
+def test_quality_checks_pruned_profile_matches_full(spark):
+    """data_quality_checks' pruned profile spec yields row-identical
+    verdicts to deriving them from the full PROFILE_SPEC profile."""
+    from ocrs_spark.ops import profiling as prof_mod
+
+    got = {
+        tuple(r)
+        for r in prof_mod.data_quality_checks(spark, SF).collect()
+    }
+    # reference: rebuild the same verdicts from the FULL profile by
+    # temporarily making the pruned spec the full one
+    full = {
+        tuple(r)
+        for r in _quality_checks_from_full_profile(prof_mod, spark)
+    }
+    assert got == full and len(got) == len(prof_mod.CHECKS)
+
+
+def _quality_checks_from_full_profile(prof_mod, spark):
+    import unittest.mock as mock
+
+    orig = prof_mod.data_profile
+
+    def full_profile(s, d, spec=None):
+        return orig(s, d, spec=None)  # force the full PROFILE_SPEC
+
+    with mock.patch.object(prof_mod, "data_profile", full_profile):
+        return prof_mod.data_quality_checks(spark, SF).collect()
